@@ -1,0 +1,130 @@
+"""Text-analysis primitives for training-data pipelines.
+
+Beyond the reference's operator set, a 100 TB transcript/document corpus
+needs the standard curation operators: token counting, quality scoring,
+language ID, and document fingerprinting. All are pure Column
+expressions — JVM-side, codegen'd, no Python on the hot path — and each
+has an exact ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+PUNCT_RE = r"[.,!?;:]"
+WS_RE = r"\s+"
+
+# tiny marker-word lists per language for the n-gram/stopword heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "das"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "los", "que"],
+    "zh": ["de5", "shi4", "le5"],  # romanized placeholders for ASCII corpora
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # deterministic tie-break order
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def normalized(text: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), WS_RE, " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """md5 of the normalized text — exact-dup document fingerprint."""
+    return F.md5(normalized(text).cast("binary"))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (BPE-ish regex split)."""
+    t = F.trim(_c(text))
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_RE))).cast("bigint")
+
+
+def punct_count(text: Column | str) -> Column:
+    c = _c(text)
+    return (F.length(c) - F.length(F.regexp_replace(c, PUNCT_RE, ""))).cast("bigint")
+
+
+def marker_count(text: Column | str, word: str) -> Column:
+    r"""Occurrences of a marker word with \b boundaries."""
+    return F.regexp_count(F.lower(_c(text)), F.lit(rf"\b{word}\b")).cast("bigint")
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    return {
+        lang: sum(
+            (marker_count(text, w) for w in words), start=F.lit(0).cast("bigint")
+        )
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column | str) -> Column:
+    """argmax of marker-word scores; ties resolved by LANG_ORDER; all-zero
+    scores → 'und' (undetermined)."""
+    scores = lang_scores(text)
+    best = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    expr = F.lit("und")
+    # build reversed so earlier langs win ties
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_struct(text: Column | str) -> Column:
+    """Quality-scoring features: char/token counts + punct/space ratios.
+
+    Ratios are exact integer-over-integer divisions → identical doubles in
+    any engine.
+    """
+    c = _c(text)
+    n_chars = F.length(c).cast("bigint")
+    n_tokens = token_count(c)
+    n_punct = punct_count(c)
+    n_spaces = (F.length(c) - F.length(F.regexp_replace(c, r"\s", ""))).cast("bigint")
+    safe = F.when(n_chars > 0, n_chars).otherwise(F.lit(1))
+    return F.struct(
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_punct.alias("n_punct"),
+        (n_punct / safe).alias("punct_ratio"),
+        (n_spaces / safe).alias("space_ratio"),
+        (n_chars / F.when(n_tokens > 0, n_tokens).otherwise(F.lit(1))).alias(
+            "avg_token_len"
+        ),
+    )
+
+
+# --- SQL twins (DuckDB dialect-portable) ----------------------------------
+FINGERPRINT_SQL = "md5(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')))"
+TOKEN_COUNT_SQL = (
+    "CASE WHEN trim({col}) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
+)
+PUNCT_COUNT_SQL = "length({col}) - length(regexp_replace({col}, '[.,!?;:]', '', 'g'))"
+SPACE_COUNT_SQL = "length({col}) - length(regexp_replace({col}, '\\s', '', 'g'))"
+
+
+def marker_count_sql(col: str, word: str) -> str:
+    return f"len(regexp_extract_all(lower({col}), '\\b{word}\\b'))"
+
+
+def lang_score_sql(col: str, lang: str) -> str:
+    return " + ".join(marker_count_sql(col, w) for w in LANG_MARKERS[lang])
+
+
+def lang_id_sql(col: str) -> str:
+    scores = {lang: lang_score_sql(col, lang) for lang in LANG_ORDER}
+    best = "greatest(" + ", ".join(scores[lang] for lang in LANG_ORDER) + ")"
+    whens = " ".join(
+        f"WHEN ({scores[lang]}) = _best AND _best > 0 THEN '{lang}'"
+        for lang in LANG_ORDER
+    )
+    # DuckDB lacks lateral column alias in same select; inline _best
+    return f"(CASE {whens} ELSE 'und' END)".replace("_best", f"({best})")

@@ -1,0 +1,212 @@
+"""Deduplication operators for training-data curation.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join → jaccard verify), SimHash, n-gram Jaccard, and embedding-cosine
+near-dup. Everything is built-in Column expressions — the hash family is
+md5-based so a pure ANSI-SQL oracle reproduces results exactly (no
+engine-specific hash like xxhash64 anywhere near a correctness gate).
+
+Scale notes (100 TB corpus):
+  - exact dedup is one hash-aggregate on the fingerprint — the classic
+    map-side-combinable groupBy, no skew (md5 keys are uniform);
+  - MinHash/LSH replaces the O(n²) pairwise scan with a band-bucket
+    equi-join: shingle explosion is embarrassingly parallel, signatures
+    are one groupBy(doc), and candidate generation shuffles only
+    (band_idx, band_key) — uniform md5 keys again. The final jaccard
+    verify touches only candidate pairs;
+  - banding parameters (N_HASHES=8, N_BANDS=4, rows=2) are configurable;
+    at real scale you'd use 128 hashes / 32 bands — same plan shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized
+
+SHINGLE_LEN = 5
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: groups by normalized-text md5; keeps min id per group.
+
+    Output: fingerprint, keep_id, n_dups (group size).
+    """
+    from ..functions.text import fingerprint
+
+    return (
+        docs.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct character 5-gram shingles of the normalized text.
+
+    Output: id, shingle. Docs shorter than SHINGLE_LEN yield no rows.
+    """
+    norm = normalized(text_col)
+    base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
+        F.length("norm") >= SHINGLE_LEN
+    )
+    return (
+        base.select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("norm") - (SHINGLE_LEN - 1))
+            ).alias("i"),
+            "norm",
+        )
+        .select("id", F.substring(F.col("norm"), F.col("i"), F.lit(SHINGLE_LEN)).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """MinHash signature per doc: m0..m{N_HASHES-1}, each the min over
+    shingles of md5('<j>:' || shingle)."""
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))
+        ).alias(f"m{j}")
+        for j in range(N_HASHES)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """Band keys: md5 of the concatenated rows of each band.
+
+    Output: id, band_idx, band_key.
+    """
+    rows_per_band = N_HASHES // N_BANDS
+    bands = []
+    for b in range(N_BANDS):
+        cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat(*cols).cast("binary")).alias("band_key"),
+            )
+        )
+    return sig.select("id", F.explode(F.array(*bands)).alias("band")).select(
+        "id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key")
+    )
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing at least one LSH bucket."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    |∩| via an equi-join on shingle; |∪| = |A| + |B| − |∩|. Shingle sets
+    are already distinct. Output: id_a, id_b, jaccard (double).
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    # intersection size via double equi-join on shingle
+    sh_a = sh.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a").join(sh_b, ["id_b", "shingle"]).groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        pairs.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify."""
+    sh = shingles(docs, text_col, id_col)
+    pairs = candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    return jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+
+
+# --- SimHash ---------------------------------------------------------------
+SIMHASH_BITS = 16  # 4 md5 hex nibbles; production would use 64
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over shingle md5 prefixes.
+
+    bit b of the hash of shingle s = (nibble_{b//4}(md5(s)) >> (b%4)) & 1,
+    where nibble_i is the i-th hex char; the document bit is the majority
+    vote. Nibble math uses strpos on the hex alphabet so a SQL oracle
+    reproduces it without binary ops.
+    """
+    sh = shingles(docs, text_col, id_col)
+    bit_votes = []
+    for b in range(SIMHASH_BITS):
+        nib_idx = b // 4 + 1  # 1-based hex char of the md5
+        shift = b % 4
+        nib = F.expr(
+            f"instr('0123456789abcdef', substring(md5(cast(shingle as binary)), {nib_idx}, 1)) - 1"
+        )
+        bit = F.floor(nib / (2**shift)) % 2
+        bit_votes.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v{b}"))
+    votes = sh.groupBy("id").agg(*bit_votes)
+    hash_expr = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(2**b)).otherwise(F.lit(0))
+        hash_expr = term if hash_expr is None else hash_expr + term
+    return votes.select(F.col("id").alias("doc_id"), hash_expr.cast("bigint").alias("simhash"))
+
+
+def embedding_neardup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    block_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate vector pairs: cosine ≥ threshold within a block.
+
+    Blocking on `block_col` (label / coarse cluster) keeps the self-join
+    from going quadratic over the corpus — the same role LSH bands play
+    for text. Output: id_a, id_b, cos.
+    """
+    from ..functions.vectors import as_double, cosine
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), as_double(vec_col).alias("v")
+    )
+    a = base.select(F.col("id").alias("id_a"), F.col("blk"), F.col("v").alias("va"))
+    b = base.select(F.col("id").alias("id_b"), F.col("blk"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,98 @@
+"""Approximate nearest-neighbor search — IVF over an embedding column.
+
+Baseline exact search lives in functions/vectors.brute_force_knn. The
+scale path here is IVF (inverted-file) probing:
+
+  1. centroids: elementwise mean per coarse partition (here the `label`
+     column plays the cluster id; at scale this is a k-means assignment
+     or any cheap partitioner). Component sums use DECIMAL accumulation —
+     exact and order-independent — so Spark and a SQL oracle produce
+     bit-identical centroids regardless of partial-aggregation order.
+  2. probe: each query scores only the centroids (tiny, broadcast) and
+     keeps the top `n_probe` clusters.
+  3. search: exact cosine only within the probed clusters — the corpus
+     join is an equi-join on cluster id, so the scan is pruned to
+     n_probe/n_clusters of the data instead of a full sweep.
+
+At 100 TB: centroids are a few KB (broadcast); the probe assignment is a
+map-side operation; the pruned search shuffles on cluster id, which the
+corpus can be pre-partitioned/bucketed by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine
+
+CENTROID_DECIMAL = "decimal(28,12)"
+
+
+def centroids(
+    embeddings: DataFrame,
+    cluster_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Elementwise mean vector per cluster (exact decimal accumulation).
+
+    Output: cluster, centroid (array<double>, ordered by component).
+    """
+    comp = embeddings.select(
+        F.col(cluster_col).alias("cluster"),
+        F.posexplode(as_double(vec_col)).alias("pos", "x"),
+    )
+    means = comp.groupBy("cluster", "pos").agg(
+        (
+            F.sum(F.col("x").cast(CENTROID_DECIMAL)) / F.count("*")
+        ).cast("double").alias("m")
+    )
+    return (
+        means.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cluster", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def ivf_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: probe n_probe nearest centroids, exact
+    cosine within them. Output: query_id, neighbor_id, rank, cos."""
+    cents = centroids(embeddings, cluster_col, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    )
+    # probe: score all centroids per query (centroid table is tiny)
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cluster").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= n_probe)
+        .select("query_id", "qvec", "cluster")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
+        as_double(vec_col).alias("cvec"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probed.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,72 @@
+"""SparkSession builder tuned for the transcript pipeline.
+
+Local-mode settings follow the sandbox contract (local[N], single JVM);
+cluster-scale intent is expressed through the same confs — AQE, adaptive
+skew-join, shuffle-partition sizing — which carry over unchanged to a
+multi-executor deployment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "apm-otel-collector-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores defaults to $SPARK_GRAFT_CPUS (driver contract) else all cores.
+    shuffle_partitions defaults to 2×cores — small enough for local mode,
+    and AQE coalescing trims it further at runtime; on a real cluster this
+    would be sized to ~2-3× total executor cores.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        cores = int(env) if env else 0  # 0 → local[*]
+    master = f"local[{cores}]" if cores else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = (cores * 2) if cores else 32
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # parquet writer defaults — zstd is the file-level analog of the
+        # reference's per-record gzip (shard_encoder.go:308-322)
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def assert_no_rowwise_python(df) -> None:
+    """North-star audit: no per-row Python on the hot path.
+
+    Raises if the physical plan contains BatchEvalPython (row-at-a-time
+    Python UDF). ArrowEvalPython (pandas UDF) is allowed — that is the
+    designated vectorized slow path for the parse stage.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "BatchEvalPython" in plan:
+        raise AssertionError(
+            "physical plan contains row-at-a-time Python UDF (BatchEvalPython):\n"
+            + plan
+        )
