@@ -359,6 +359,9 @@ def _minhash_sql(threshold: float = 0.5) -> str:
         )
         for b in range(dd.N_BANDS)
     )
+    agree = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(n)
+    )
     return f"""
 WITH docs_n AS (
   SELECT doc_id AS id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
@@ -370,10 +373,14 @@ WITH docs_n AS (
 ), sig AS (
   SELECT id, {mins} FROM sh GROUP BY id
 ), bands AS ({band_selects}
-), cand AS (
+), cand0 AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+), cand AS (
+  SELECT c.id_a, c.id_b
+  FROM cand0 c JOIN sig sa ON sa.id = c.id_a JOIN sig sb ON sb.id = c.id_b
+  WHERE ({agree}) >= {int(dd.EST_MIN * n)}
 ), sizes AS (
   SELECT id, count(*) AS n FROM sh GROUP BY id
 ), inter AS (

@@ -117,17 +117,42 @@ def assign_shard(
     """Broadcast hash-range join: each row → its owning shard.
 
     The reference scans shards linearly per span (encoder.go:451-464, with
-    a binary-search TODO); the Spark plan broadcasts the tiny sorted config
-    and lets the executors evaluate the BETWEEN predicate — a
-    BroadcastNestedLoopJoin over ≤ a few hundred shard rows, no shuffle of
-    the fact side. Rows matching no shard keep shard_id NULL ('no shard
-    found', encoder.go:462) and are later dropped as FatalEncodingError.
+    a binary-search TODO). A naive Spark translation is a
+    BroadcastNestedLoopJoin on the BETWEEN predicate — O(n_shards)
+    comparisons per row, measurably slow at millions of rows. Instead the
+    range join is bucketized into a broadcast EQUI-join: each shard range
+    is exploded (driver-side, tiny) into the 2-hex-char prefixes it
+    covers, rows join on their hash key's prefix (BroadcastHashJoin, O(1)
+    per row), and the residual BETWEEN filter resolves prefixes straddling
+    a shard boundary. Ranges are validated non-overlapping, so each row
+    matches at most one shard. Rows matching no shard keep shard_id NULL
+    ('no shard found', encoder.go:462) → dropped as FatalEncodingError.
     """
-    keyed = df.withColumn("hash_key", hash_key_col(partition_key))
-    cond = (F.col("hash_key") >= F.col("start_key")) & (
-        F.col("hash_key") <= F.col("end_key")
+    rows = [
+        (r["shard_id"], r["start_key"], r["end_key"])
+        for r in shards.select("shard_id", "start_key", "end_key").collect()
+    ]
+    spark = shards.sparkSession
+    exploded = []
+    for shard_id, start, end in rows:
+        for p in range(int(start[:2], 16), int(end[:2], 16) + 1):
+            exploded.append((f"{p:02x}", shard_id, start, end))
+    lut = spark.createDataFrame(
+        exploded, "lut_prefix string, shard_id string, start_key string, end_key string"
     )
-    return keyed.join(F.broadcast(shards), cond, how).drop("start_key", "end_key")
+    keyed = df.withColumn("hash_key", hash_key_col(partition_key)).withColumn(
+        "hash_prefix", F.substring("hash_key", 1, 2)
+    )
+    # equality on the prefix + residual range check inside ONE join: ranges
+    # don't overlap, so each row matches ≤ 1 lut entry — a left join emits
+    # exactly one row per input (shard columns NULL when unowned).
+    cond = (
+        (F.col("hash_prefix") == F.col("lut_prefix"))
+        & (F.col("hash_key") >= F.col("start_key"))
+        & (F.col("hash_key") <= F.col("end_key"))
+    )
+    joined = keyed.join(F.broadcast(lut), cond, how)
+    return joined.drop("start_key", "end_key", "hash_prefix", "lut_prefix")
 
 
 def shard_of(partition_key: str, shards: list[dict]) -> str | None:

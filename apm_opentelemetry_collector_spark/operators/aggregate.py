@@ -25,11 +25,13 @@ def conv_bucket_col(n_buckets: int = 16) -> F.Column:
 
     'conv-00000013' → 13 % n_buckets. Pure string arithmetic so a SQL
     oracle reproduces it; Iceberg's bucket(conv_id) transform is the
-    production twin (north_star partitioning).
+    production twin (north_star partitioning). Non-numeric suffixes
+    (ANSI cast would throw) fall back to a uniform hash bucket.
     """
-    return (F.substring(F.col("conv_id"), 6, 23).cast("bigint") % n_buckets).alias(
-        "conv_bucket"
-    )
+    num = F.expr("try_cast(substring(conv_id, 6) as bigint)")
+    return (
+        F.coalesce(num, F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))) % n_buckets
+    ).alias("conv_bucket")
 
 
 def sink_outcome_counts(

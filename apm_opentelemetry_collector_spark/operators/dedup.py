@@ -27,7 +27,12 @@ from ..functions.text import normalized
 
 SHINGLE_LEN = 5
 N_HASHES = 8
-N_BANDS = 4  # rows per band = N_HASHES // N_BANDS = 2
+N_BANDS = 2  # rows per band = N_HASHES // N_BANDS = 4
+# signature-agreement prefilter: candidate pairs must agree on at least
+# this fraction of minhash components before the (expensive) exact-Jaccard
+# verify join. The minhash estimator E[agree/N] = J, so this prunes pairs
+# whose estimated similarity is far below the dedup threshold.
+EST_MIN = 0.5
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -114,6 +119,31 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
+def estimate_filter(pairs: DataFrame, sig: DataFrame, est_min: float = EST_MIN) -> DataFrame:
+    """Prune candidates by minhash agreement ≥ est_min before exact verify.
+
+    Two broadcast joins against the tiny signature table + N component
+    comparisons per pair — orders of magnitude cheaper than the
+    shingle-intersection join it gates.
+    """
+    sa = sig.select(
+        F.col("id").alias("id_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)]
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(N_HASHES)]
+    )
+    agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_HASHES)
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(agree >= int(est_min * N_HASHES))
+        .select("id_a", "id_b")
+    )
+
+
 def jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
@@ -147,10 +177,24 @@ def jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 def minhash_lsh_dedup(
     docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify."""
-    sh = shingles(docs, text_col, id_col)
-    pairs = candidate_pairs(lsh_bands(minhash_signatures(sh)))
-    return jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+    """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify.
+
+    The shingle table feeds four downstream consumers (signatures, sizes,
+    and both sides of the intersection join); persist it so the
+    explode+distinct shuffle runs once. At cluster scale the equivalent is
+    checkpointing the shingle table to storage (it is the reusable
+    intermediate of the whole dedup pass).
+    """
+    sh = shingles(docs, text_col, id_col).persist()
+    try:
+        sig = minhash_signatures(sh)
+        pairs = estimate_filter(candidate_pairs(lsh_bands(sig)), sig)
+        out = jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+        # materialize before unpersist so the cached plan is what executes
+        out = out.localCheckpoint(eager=True)
+    finally:
+        sh.unpersist()
+    return out
 
 
 # --- SimHash ---------------------------------------------------------------

@@ -36,24 +36,32 @@ def assign_batches(
     group_cols: tuple[str, ...] = ("sink", "shard_id"),
     size_col: str = "text",
     use_char_length: bool = False,
+    gate: F.Column | None = None,
 ) -> DataFrame:
     """Adds `batch_no` (int64) per group under the byte budget.
 
     use_char_length switches the size probe from octet_length to length —
     identical on ASCII payloads; the oracle SQL uses length (DuckDB's
     octet_length is BLOB-only).
+
+    gate (optional bool Column): rows failing it contribute 0 bytes and
+    get NULL batch_no — this packs exactly the gated subset (e.g. only
+    accepted sends) without splitting the DataFrame into two scans.
     """
     cfg = cfg or PipelineConfig()
     size = F.length(size_col) if use_char_length else F.octet_length(size_col)
+    if gate is not None:
+        size = F.when(gate, size).otherwise(F.lit(0))
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("conv_id", "turn_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     prev_cum = F.coalesce(F.sum(size).over(w), F.lit(0))
-    return df.withColumn(
-        "batch_no", F.floor(prev_cum / F.lit(cfg.max_record_size)).cast("bigint")
-    )
+    batch = F.floor(prev_cum / F.lit(cfg.max_record_size)).cast("bigint")
+    if gate is not None:
+        batch = F.when(gate, batch).otherwise(F.lit(None).cast("bigint"))
+    return df.withColumn("batch_no", batch)
 
 
 def record_stats(packed: DataFrame, group_cols: tuple[str, ...] = ("sink", "shard_id")) -> DataFrame:

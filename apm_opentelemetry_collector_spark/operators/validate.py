@@ -26,19 +26,18 @@ from ..config import OUTCOME_DROPPED, OUTCOME_REFUSED
 def flag_protocol_violations(df: DataFrame) -> DataFrame:
     """Add bool `conv_invalid`: conversation's first turn lacks role.
 
-    Uses min_by over the conv_id window so it works even if turn_idx does
-    not start at 0 for some conversation.
+    Evaluated with F.first over the (conv_id, turn_idx)-sorted running
+    window — the SAME window spec forward_fill uses — so Catalyst plans
+    one exchange + one sort for both operators (verified in the physical
+    plan: a single Window node carries all the expressions).
     """
-    w = Window.partitionBy("conv_id")
-    first_role = F.min_by(F.col("role"), F.col("turn_idx")).over(w)
-    # min_by ignores NULL `role` rows, so instead: detect via the turn with
-    # the minimum turn_idx having a NULL role.
-    min_turn = F.min("turn_idx").over(w)
-    has_null_first = F.max(
-        F.when((F.col("turn_idx") == min_turn) & F.col("role").isNull(), 1).otherwise(0)
-    ).over(w)
-    _ = first_role  # documented alternative; the null-safe variant is used
-    return df.withColumn("conv_invalid", has_null_first == 1)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_role = F.first(F.col("role"), ignorenulls=False).over(w)
+    return df.withColumn("conv_invalid", first_role.isNull())
 
 
 def split_valid(

@@ -177,7 +177,7 @@ def synth_transcripts(
         .when(role_i < 90, "system")
         .otherwise("tool")
     )
-    tool_i = (h // 100) % 100
+    tool_i = F.floor(h / 100) % 100
     tool = (
         F.when(tool_i < 5, F.lit(None).cast("string"))
         .when(tool_i < 45, "none")
@@ -185,7 +185,7 @@ def synth_transcripts(
         .when(tool_i < 85, "code")
         .otherwise("browser")
     )
-    sev_i = (h // 10_000) % 10
+    sev_i = F.floor(h / 10_000) % 10
     severity = F.when(sev_i < 6, "INFO").when(sev_i < 9, "WARN").otherwise("ERROR")
     body = F.concat(
         F.lit("["), severity, F.lit("] step "),

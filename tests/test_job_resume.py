@@ -1,0 +1,60 @@
+"""Kill-replay test: a killed job replays ONLY incomplete partitions
+(north_star resumability; analog of the reference's retry/drain
+invariants, encoder.go:226-263)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from apm_opentelemetry_collector_spark.plans.job import (
+    completed_buckets,
+    read_all_manifests,
+    run_job,
+)
+from apm_opentelemetry_collector_spark.sources.transcripts import synth_transcripts
+
+N_BUCKETS = 4
+
+
+def test_kill_replay_resumes_incomplete_only(spark, tmp_path):
+    tr = synth_transcripts(spark, n_rows=4_000, n_convs=80)
+
+    out_dir = str(tmp_path / "job")
+    # first attempt dies after 2 of 4 buckets
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(spark, tr, out_dir, n_buckets=N_BUCKETS, fail_after=2)
+    assert len(completed_buckets(out_dir)) == 2
+
+    # resume: must run exactly the 2 remaining buckets
+    res = run_job(spark, tr, out_dir, n_buckets=N_BUCKETS)
+    assert sorted(res.buckets_skipped) == sorted(completed_buckets(out_dir))[:2] or len(
+        res.buckets_skipped
+    ) == 2
+    assert len(res.buckets_run) == 2
+
+    # resumed output == clean-run output (manifest counts + checksums)
+    clean_dir = str(tmp_path / "clean")
+    run_job(spark, tr, clean_dir, n_buckets=N_BUCKETS)
+    resumed = {m["bucket"]: m for m in read_all_manifests(out_dir)}
+    clean = {m["bucket"]: m for m in read_all_manifests(clean_dir)}
+    assert resumed.keys() == clean.keys() == set(range(N_BUCKETS))
+    for b in clean:
+        for key in ("routed_rows", "by_outcome", "rejected_rows", "checksum"):
+            assert resumed[b][key] == clean[b][key], (b, key)
+
+    # idempotent re-run: nothing left to do
+    res2 = run_job(spark, tr, out_dir, n_buckets=N_BUCKETS)
+    assert res2.buckets_run == [] and len(res2.buckets_skipped) == N_BUCKETS
+
+
+def test_single_pass_mode(spark, tmp_path):
+    tr = synth_transcripts(spark, n_rows=2_000, n_convs=40)
+    out_dir = str(tmp_path / "single")
+    res = run_job(spark, tr, out_dir, n_buckets=None)
+    assert res.buckets_run == [0]
+    m = read_all_manifests(out_dir)[0]
+    assert m["routed_rows"] > 0
+    # conservation recorded in the manifest
+    assert m["routed_rows"] == sum(m["by_outcome"].values())

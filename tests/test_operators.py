@@ -1,0 +1,181 @@
+"""Operator unit tests — the reference's test oracles re-expressed
+(SURVEY.md §5): shard goldens, packing goldens, truncation, node
+multiplexing counts, backpressure matrix, salting equivalence,
+conservation, config round-trip behaviors.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apm_opentelemetry_collector_spark.config import PipelineConfig
+from apm_opentelemetry_collector_spark.functions import sharding
+from apm_opentelemetry_collector_spark.operators.aggregate import sink_outcome_counts
+from apm_opentelemetry_collector_spark.operators.forward_fill import forward_fill
+from apm_opentelemetry_collector_spark.operators.pack import assign_batches
+from apm_opentelemetry_collector_spark.operators.route import fan_out, with_send_outcome
+from apm_opentelemetry_collector_spark.operators.truncate import truncate_oversize
+from apm_opentelemetry_collector_spark.operators.validate import split_valid
+from apm_opentelemetry_collector_spark.sources import fixtures
+from apm_opentelemetry_collector_spark.sources.transcripts import synth_transcripts
+
+TS = "2024-01-01 00:00:00"
+
+
+def turns(spark, rows):
+    return spark.createDataFrame(
+        [Row(conv_id=c, turn_idx=i, role=r, text=t, tool=o, ts=None) for c, i, r, t, o in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+
+# --- sharding goldens (encoder_test.go:98-117, sharding_config_test.go) ----
+def test_shard_golden_abc():
+    sh = sharding.even_shards(4)
+    assert sharding.shard_of("abc", sh) == "shard#2"
+
+
+def test_even_shards_contiguous():
+    sh = sharding.even_shards(7)
+    assert sh[0]["start_key"] == "0" * 32
+    assert sh[-1]["end_key"] == "f" * 32
+    for prev, nxt in zip(sh, sh[1:]):
+        assert int(prev["end_key"], 16) + 1 == int(nxt["start_key"], 16)
+
+
+def test_spark_assignment_matches_python_oracle(spark):
+    sh = sharding.even_shards(4)
+    df = spark.createDataFrame([(f"key-{i}",) for i in range(500)], "conv_id string")
+    got = {
+        r["conv_id"]: r["shard_id"]
+        for r in sharding.assign_shard(df, sharding.shards_df(spark, sh)).collect()
+    }
+    for k, v in got.items():
+        assert v == sharding.shard_of(k, sh)
+
+
+def test_invalid_configs_rejected():
+    with pytest.raises(ValueError, match="startingHashKey > endingHashKey"):
+        sharding.validate_sharding_config(
+            [{"shard_id": "a", "start_key": "f" * 32, "end_key": "0" * 32}]
+        )
+    with pytest.raises(ValueError, match="overlap"):
+        sharding.validate_sharding_config(
+            [
+                {"shard_id": "a", "start_key": "0" * 32, "end_key": "8" + "0" * 31},
+                {"shard_id": "b", "start_key": "7" * 32, "end_key": "f" * 32},
+            ]
+        )
+
+
+def test_unsorted_config_sorted():
+    sh = list(reversed(sharding.even_shards(4)))
+    ordered = sharding.validate_sharding_config(sh)
+    assert [s["shard_id"] for s in ordered] == [f"shard#{i}" for i in range(4)]
+
+
+# --- node multiplexing golden (octrace/opencensus_test.go:172-304) ---------
+def test_forward_fill_node_multiplexing(spark):
+    # stream: initiator node (1 span), node1 (3 spans), node2 (5 spans);
+    # nodes only present on the first span of each segment.
+    rows = [("c", 0, "initiator", "t", None)]
+    rows += [("c", 1, "node1", "t", None)] + [("c", i, None, "t", None) for i in (2, 3)]
+    rows += [("c", 4, "node2", "t", None)] + [("c", i, None, "t", None) for i in (5, 6, 7, 8)]
+    out = forward_fill(turns(spark, rows)).groupBy("role").count().collect()
+    got = {r["role"]: r["count"] for r in out}
+    assert got == {"initiator": 1, "node1": 3, "node2": 5}
+
+
+# --- protocol filter + backpressure matrix (opencensus_test.go:308-590) ----
+def test_protocol_filter_refuses_whole_conversation(spark):
+    rows = [
+        ("bad", 0, None, "x", None), ("bad", 1, "user", "x", None),
+        ("good", 0, "user", "x", None), ("good", 1, None, "x", None),
+    ]
+    valid, rejected = split_valid(turns(spark, rows), backpressure_on=True)
+    assert {r["conv_id"] for r in valid.collect()} == {"good"}
+    rej = rejected.collect()
+    assert {r["conv_id"] for r in rej} == {"bad"} and len(rej) == 2
+    assert all(r["outcome"] == "refused" for r in rej)
+
+
+def test_backpressure_off_drops_silently(spark):
+    rows = [("bad", 0, None, "x", None), ("bad", 1, "user", "x", None)]
+    _, rejected = split_valid(turns(spark, rows), backpressure_on=False)
+    assert all(r["outcome"] == "dropped" for r in rejected.collect())
+
+
+# --- truncation goldens (encoder_test.go:243-319) ---------------------------
+def test_truncation_rewrites_oversized_text(spark):
+    cfg = PipelineConfig(max_span_size=100)
+    rows = [("c", 0, "user", "x" * 500, None), ("c", 1, "user", "small", None)]
+    out = {r["turn_idx"]: r for r in truncate_oversize(turns(spark, rows), cfg).collect()}
+    assert out[0]["truncated"] and out[0]["text"].startswith("[TRUNCATED reason=")
+    assert "size=500" in out[0]["text"]
+    assert not out[1]["truncated"] and out[1]["text"] == "small"
+    assert out[0]["outcome"] is None  # truncated but delivered
+
+
+def test_truncation_fatal_drop_when_cap_below_marker(spark):
+    cfg = PipelineConfig(max_span_size=10)  # marker alone exceeds the cap
+    rows = [("c", 0, "user", "y" * 50, None)]
+    r = truncate_oversize(turns(spark, rows), cfg).collect()[0]
+    assert r["outcome"] == "dropped" and r["drop_reason"] == "FatalEncodingError"
+
+
+# --- packing goldens (shard_encoder_test.go:84-170) --------------------------
+def _packed(spark, texts, max_record_size):
+    cfg = PipelineConfig(max_record_size=max_record_size)
+    rows = [("c", i, "user", t, None) for i, t in enumerate(texts)]
+    df = turns(spark, rows).withColumn("sink", F.lit("s")).withColumn(
+        "shard_id", F.lit("sh")
+    )
+    return assign_batches(df, cfg).collect()
+
+
+def test_packing_one_big_record(spark):
+    out = _packed(spark, ["abc"] * 10, max_record_size=10_000)
+    assert {r["batch_no"] for r in out} == {0}
+
+
+def test_packing_one_record_per_span(spark):
+    out = _packed(spark, ["abc"] * 10, max_record_size=1)
+    assert sorted(r["batch_no"] for r in out) == list(range(0, 30, 3))  # floor(prev/1)
+    # each batch_no distinct → one record per span
+    assert len({r["batch_no"] for r in out}) == 10
+
+
+def test_packing_overshoot_by_one_span(spark):
+    # budget 10, spans of 6 bytes: batches go [0,0], [1,1], ... flush AFTER
+    # exceeding, matching the reference's append-then-flush
+    out = _packed(spark, ["x" * 6] * 4, max_record_size=10)
+    got = [r["batch_no"] for r in sorted(out, key=lambda r: r["turn_idx"])]
+    assert got == [0, 0, 1, 1]
+
+
+# --- salting equivalence (SURVEY.md §4 item 1) -------------------------------
+def test_salted_equals_unsalted(spark):
+    tr = synth_transcripts(spark, n_rows=20_000, n_convs=50, hot_conv_fraction=0.5)
+    valid, _ = split_valid(tr)
+    routed = with_send_outcome(fan_out(forward_fill(valid), fixtures.routes_df(spark)))
+    key = lambda r: tuple("" if v is None else str(v) for v in r)
+    a = sink_outcome_counts(routed, salted=True).collect()
+    b = sink_outcome_counts(routed, salted=False).collect()
+    assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+# --- conservation (encoder_test.go:140-199 invariant) ------------------------
+def test_conservation_accepted_plus_dropped_is_routed(spark):
+    tr = synth_transcripts(spark, n_rows=5_000, n_convs=100)
+    valid, rejected = split_valid(tr)
+    routed = with_send_outcome(fan_out(forward_fill(valid), fixtures.routes_df(spark)))
+    per_sink = routed.groupBy("sink").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("outcome") == "accepted", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("outcome") == "dropped", 1).otherwise(0)).alias("d"),
+    ).collect()
+    assert per_sink and all(r["n"] == r["a"] + r["d"] for r in per_sink)
+    # and every input row is exactly one of admitted/rejected
+    assert valid.count() + rejected.count() == tr.count()
