@@ -202,6 +202,88 @@ def q_metrics_translate(spark, sf_dir):
     return to_signalfx(memorymonitor_scrape(spark))
 
 
+# XL truncation (P4) exercised on documents (texts long enough to trip a
+# 400-byte cap); oracle reproduces the marker arithmetic exactly.
+TRUNC_CAP = 400
+
+
+def q_doc_truncation(spark, sf_dir):
+    from apm_opentelemetry_collector_spark.operators.truncate import truncate_oversize
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("text")
+    )
+    cfg = PipelineConfig(max_span_size=TRUNC_CAP)
+    out = truncate_oversize(docs, cfg)
+    return out.select(
+        "doc_id",
+        "truncated",
+        F.length("text").alias("new_len"),
+        F.col("text").alias("new_text"),
+    )
+
+
+def q_xl_span_stats(spark, sf_dir):
+    """A2: omnishard_xl_span_size/_spans — Sum/Count of truncated spans
+    per group (telemetry.go:80-94); grouped by source here."""
+    from apm_opentelemetry_collector_spark.operators.truncate import truncate_oversize
+
+    docs = _load(spark, sf_dir, "documents")
+    cfg = PipelineConfig(max_span_size=TRUNC_CAP)
+    out = truncate_oversize(docs, cfg)
+    return (
+        out.filter(F.col("truncated"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("xl_spans"),
+            F.sum("n_chars").alias("xl_size"),
+        )
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events stream (30-min gap):
+    lag + cumsum — the batch analog of session_window (SURVEY §2.8 T5)."""
+    from pyspark.sql import Window as W
+
+    ev = _load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ→timestamp (session is UTC)→double = fractional epoch seconds
+    # (microsecond exact), matching DuckDB's epoch(); gaps are
+    # differences, so the TZ interpretation cancels out regardless
+    secs = F.col("ts").cast("timestamp").cast("double")
+    gap = secs - F.lag(secs).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def q_topk_users_by_value(spark, sf_dir):
+    """Top-3 users per event_type by exact decimal value sum (window
+    row_number — the standard top-k-per-group plan)."""
+    from pyspark.sql import Window as W
+
+    ev = _load(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.col("total_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "total_value", "rnk")
+    )
+
+
 # ---------------------------------------------------------------- generic
 def q_q1_pricing_summary(spark, sf_dir):
     li = _load(spark, sf_dir, "lineitem")
@@ -327,6 +409,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": q_conv_stats,
         # metrics path (S7, P3)
         "metrics_translate": q_metrics_translate,
+        # truncation (P4) + A2 stats
+        "doc_truncation": q_doc_truncation,
+        "xl_span_stats": q_xl_span_stats,
+        # time/window ops
+        "events_sessionize": q_events_sessionize,
+        "topk_users_by_value": q_topk_users_by_value,
         # generic engine sanity (Catalyst agg/join/topk)
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_customers": q_top_customers,
@@ -631,6 +719,57 @@ SELECT conv_id, count(*) AS n_turns, count(DISTINCT role) AS n_roles,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM transcripts GROUP BY conv_id""",
         "metrics_translate": signalfx_oracle_sql(),
+        "doc_truncation": f"""
+WITH m AS (
+  SELECT doc_id, text,
+         '[TRUNCATED reason=max_span_size size=' || CAST(length(text) AS VARCHAR) || '] ' AS marker,
+         length(text) > {TRUNC_CAP} AS over_cap
+  FROM documents
+)
+SELECT doc_id,
+       over_cap AS truncated,
+       CASE WHEN over_cap
+            THEN length(marker || substr(text, 1, {TRUNC_CAP} - length(marker)))
+            ELSE length(text) END AS new_len,
+       CASE WHEN over_cap
+            THEN marker || substr(text, 1, {TRUNC_CAP} - length(marker))
+            ELSE text END AS new_text
+FROM m""",
+        "xl_span_stats": f"""
+SELECT source, count(*) AS xl_spans, sum(n_chars) AS xl_size
+FROM documents WHERE length(text) > {TRUNC_CAP}
+GROUP BY source""",
+        "events_sessionize": """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM gaps
+), sess AS (
+  SELECT user_id, event_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_no""",
+        "topk_users_by_value": """
+WITH per_user AS (
+  SELECT event_type, user_id,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY event_type, user_id
+), ranked AS (
+  SELECT event_type, user_id, total_value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY total_value DESC, user_id ASC) AS rnk
+  FROM per_user
+)
+SELECT event_type, user_id, total_value, rnk FROM ranked WHERE rnk <= 3""",
         "q1_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

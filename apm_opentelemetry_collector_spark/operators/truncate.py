@@ -34,16 +34,24 @@ def truncate_oversize(df: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     cfg = cfg or PipelineConfig()
     size = F.octet_length("text")
     marker = F.concat(F.lit(TRUNC_MARKER), size.cast("string"), F.lit("] "))
-    keep = F.greatest(F.lit(0), F.lit(cfg.max_span_size) - F.octet_length(marker))
+    # the rewritten row must FIT the cap: marker + first `keep` bytes
+    # (reference re-encodes after truncation and checks the size again,
+    # shard_encoder.go:254-266). keep < 0 → even the marker alone is over
+    # the cap → irreducible → drop (ErrEncodingFailed analog).
+    keep = (F.lit(cfg.max_span_size) - F.octet_length(marker)).cast("int")
     over = size > cfg.max_span_size
-    fatal = over & (F.octet_length(marker) > cfg.max_span_size)
+    fatal = over & (keep < 0)
     return (
         df.withColumn("truncated", over & ~fatal)
-        .withColumn("encode_dropped", fatal)
         .withColumn(
             "text",
-            F.when(over & ~fatal, F.concat(marker, F.substring(F.col("text"), 1, 1_000)))
-            .otherwise(F.col("text")),
+            F.when(
+                over & ~fatal,
+                F.concat(
+                    marker,
+                    F.substring(F.col("text"), F.lit(1), F.greatest(keep, F.lit(0))),
+                ),
+            ).otherwise(F.col("text")),
         )
         .withColumn(
             "drop_reason",
@@ -53,7 +61,4 @@ def truncate_oversize(df: DataFrame, cfg: PipelineConfig | None = None) -> DataF
             "outcome",
             F.when(fatal, F.lit(OUTCOME_DROPPED)).otherwise(F.lit(None).cast("string")),
         )
-        .drop("encode_dropped")
-        .withColumn("_keep_budget", keep)  # retained for parity inspection
-        .drop("_keep_budget")
     )

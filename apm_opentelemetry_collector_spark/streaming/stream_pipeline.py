@@ -1,0 +1,119 @@
+"""Structured Streaming variant of the pipeline.
+
+The reference is a continuous stream processor; the batch engine is the
+primary deliverable (deterministic, oracle-checkable), but the streaming
+re-expression demonstrates the Spark-native homes of its time/state
+semantics (SURVEY.md §2.8):
+
+  - T1 batch flush ticker (5 s)      → trigger(processingTime='5 seconds')
+  - S3 node multiplexing             → applyInPandasWithState keyed by
+    conv_id: the last non-null role/tool persists ACROSS micro-batches —
+    the literal stream-scoped inheritance of octrace/opencensus.go:150-165
+  - A1-A7 obsreport views            → windowed streaming aggregation
+    with a watermark for late data
+  - T6 retry/idempotence             → foreachBatch + idempotent writes
+    (checkpointLocation gives exactly-once file sinks)
+
+Stateless stages (parse, enrich, fan-out, outcome) are the SAME operator
+functions as the batch plan — DataFrame transformations don't care which
+engine runs them; that is the point of declaring the pipeline
+relationally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..sources.transcripts import TRANSCRIPT_SCHEMA
+
+FILLED_SCHEMA = T.StructType(
+    list(TRANSCRIPT_SCHEMA.fields)
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_role", T.StringType()),
+        T.StructField("last_tool", T.StringType()),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over a transcript directory (schema pinned —
+    no inference on the hot path)."""
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def _fill_group(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Stateful forward fill for one conversation across micro-batches.
+
+    State = (last_role, last_tool) seen so far on this conversation's
+    stream — exactly the receiver's per-stream Node/Resource memory
+    (octrace/opencensus.go:150-165).
+    """
+    last_role, last_tool = state.get if state.exists else (None, None)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("turn_idx")
+        roles, tools = [], []
+        for role, tool in zip(pdf["role"], pdf["tool"]):
+            if pd.notna(role) and role is not None:
+                last_role = role
+            if pd.notna(tool) and tool is not None:
+                last_tool = tool
+            roles.append(last_role)
+            tools.append(last_tool)
+        pdf = pdf.assign(role=roles, tool=tools)
+        yield pdf[[f.name for f in FILLED_SCHEMA.fields]]
+    state.update((last_role, last_tool))
+
+
+def forward_fill_stateful(stream: DataFrame) -> DataFrame:
+    """Node-multiplexing forward fill with cross-micro-batch state."""
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        _fill_group,
+        FILLED_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def windowed_sink_counts(
+    routed: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming obsreport view: per-sink outcome counts in event-time
+    windows, late rows beyond the watermark dropped (T5)."""
+    return (
+        routed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "sink", "outcome")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming DataFrame to completion into a memory sink
+    (synchronous — for tests and smoke checks)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

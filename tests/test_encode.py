@@ -1,0 +1,91 @@
+"""Record encode/decode oracle — the reference e2e sink validation
+re-expressed (exporter_test.go:200-228, 257-309): every routed span is
+decoded exactly once at the sink, record partition keys ∈ sent keys,
+sent == received == decoded counts, compress factor integer division
+(hooks.go:120-126)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apm_opentelemetry_collector_spark.config import PipelineConfig
+from apm_opentelemetry_collector_spark.functions import sharding
+from apm_opentelemetry_collector_spark.operators.aggregate import compress_stats
+from apm_opentelemetry_collector_spark.operators.encode import (
+    decode_record,
+    encode_records,
+)
+from apm_opentelemetry_collector_spark.operators.forward_fill import forward_fill
+from apm_opentelemetry_collector_spark.operators.pack import assign_batches
+from apm_opentelemetry_collector_spark.operators.route import fan_out, with_send_outcome
+from apm_opentelemetry_collector_spark.operators.validate import split_valid
+from apm_opentelemetry_collector_spark.sources import fixtures
+from apm_opentelemetry_collector_spark.sources.transcripts import synth_transcripts
+
+
+def _routed(spark, n=3000):
+    cfg = PipelineConfig(n_shards=4, max_record_size=2000)
+    tr = synth_transcripts(spark, n_rows=n, n_convs=60)
+    valid, _ = split_valid(tr)
+    routed = with_send_outcome(fan_out(forward_fill(valid), fixtures.routes_df(spark)), cfg)
+    sharded = sharding.assign_shard(
+        routed, sharding.shards_df(spark, sharding.even_shards(4)), "conv_id"
+    )
+    accepted = sharded.filter(F.col("outcome") == "accepted")
+    return assign_batches(accepted, cfg), cfg
+
+
+def test_every_span_decoded_exactly_once(spark):
+    packed, _ = _routed(spark)
+    sent = {
+        (r["sink"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in packed.select("sink", "conv_id", "turn_idx", "text").collect()
+    }
+    records = encode_records(packed).collect()
+    decoded = []
+    for rec in records:
+        for conv_id, turn_idx, text in decode_record(bytes(rec["data"])):
+            decoded.append((rec["sink"], conv_id, turn_idx, text))
+    assert len(decoded) == len(sent)          # no dupes
+    assert set(decoded) == sent               # full coverage
+    # record stats consistent
+    for rec in records:
+        assert rec["span_count"] == len(decode_record(bytes(rec["data"])))
+        assert rec["compressed_bytes"] == len(bytes(rec["data"]))
+        assert rec["uncompressed_bytes"] >= rec["compressed_bytes"] // 4  # sanity
+
+
+def test_partition_key_is_first_span(spark):
+    packed, _ = _routed(spark)
+    records = encode_records(packed).collect()
+    firsts = {
+        (r["sink"], r["shard_id"], r["batch_no"]): r["partition_key"]
+        for r in packed.groupBy("sink", "shard_id", "batch_no")
+        .agg(F.min("conv_id").alias("partition_key"))
+        .collect()
+    }
+    for rec in records:
+        assert rec["partition_key"] == firsts[(rec["sink"], rec["shard_id"], rec["batch_no"])]
+
+
+def test_records_byte_reproducible(spark):
+    packed, _ = _routed(spark, n=500)
+    a = {
+        (r["sink"], r["shard_id"], r["batch_no"]): bytes(r["data"])
+        for r in encode_records(packed).collect()
+    }
+    b = {
+        (r["sink"], r["shard_id"], r["batch_no"]): bytes(r["data"])
+        for r in encode_records(packed).collect()
+    }
+    assert a == b  # deterministic framing (gzip mtime pinned)
+
+
+def test_compress_factor_integer_division(spark):
+    packed, _ = _routed(spark, n=1000)
+    stats = compress_stats(encode_records(packed)).collect()
+    # integer division (hooks.go:120-126): tiny records can floor to 0
+    # (gzip+magic overhead exceeds savings); factors are never negative
+    # and compressible records exceed 1
+    assert stats and all(r["compress_factor"] >= 0 for r in stats)
+    assert any(r["compress_factor"] >= 1 for r in stats)

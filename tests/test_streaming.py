@@ -1,0 +1,97 @@
+"""Streaming semantics tests: stateless parity with the batch plan, and
+node-multiplexing state carried ACROSS micro-batches (the reference's
+per-stream inheritance, octrace/opencensus.go:150-165, proven per-batch
+in octrace/opencensus_test.go:172-304)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from apm_opentelemetry_collector_spark.operators.route import fan_out, with_send_outcome
+from apm_opentelemetry_collector_spark.sources import fixtures
+from apm_opentelemetry_collector_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+    forward_fill_stateful,
+    run_to_memory,
+    stream_transcripts,
+    windowed_sink_counts,
+)
+
+TS = "2024-01-01 00:00:00"
+
+
+def _write_batch(spark, path, rows, mode="append"):
+    df = spark.createDataFrame(
+        [
+            Row(conv_id=c, turn_idx=i, role=r, text=t, tool=o,
+                ts=dt.datetime.fromisoformat(TS))
+            for c, i, r, t, o in rows
+        ],
+        TRANSCRIPT_SCHEMA,
+    )
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_stateful_fill_across_microbatches(spark, tmp_path):
+    path = str(tmp_path / "stream_in")
+    # micro-batch 1: node set on the first turn only
+    _write_batch(spark, path, [("c1", 0, "node1", "a", "search"), ("c1", 1, None, "b", None)])
+    # micro-batch 2 (separate file): no node at all → must inherit node1
+    _write_batch(spark, path, [("c1", 2, None, "c", None), ("c1", 3, "node2", "d", None)])
+
+    filled = forward_fill_stateful(stream_transcripts(spark, path))
+    run_to_memory(filled, "filled_out")
+    got = {
+        r["turn_idx"]: (r["role"], r["tool"])
+        for r in spark.sql("SELECT * FROM filled_out").collect()
+    }
+    assert got[0] == ("node1", "search")
+    assert got[1] == ("node1", "search")   # filled within batch 1
+    assert got[2] == ("node1", "search")   # state crossed the micro-batch
+    assert got[3] == ("node2", "search")
+
+
+def test_stateless_stages_match_batch(spark, tmp_path):
+    path = str(tmp_path / "stream_in2")
+    rows = [
+        ("c1", 0, "user", "x", "search"),
+        ("c1", 1, "assistant", "y", "code"),
+        ("c2", 0, "tool", "z", "browser"),
+    ]
+    _write_batch(spark, path, rows)
+
+    routes = fixtures.routes_df(spark)
+    stream = stream_transcripts(spark, path)
+    routed_stream = with_send_outcome(fan_out(stream, routes))
+    run_to_memory(routed_stream.select("sink", "conv_id", "turn_idx", "outcome"), "routed_out")
+    got = {
+        (r["sink"], r["conv_id"], r["turn_idx"], r["outcome"])
+        for r in spark.sql("SELECT * FROM routed_out").collect()
+    }
+
+    batch_df = spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+    want = {
+        (r["sink"], r["conv_id"], r["turn_idx"], r["outcome"])
+        for r in with_send_outcome(fan_out(batch_df, routes))
+        .select("sink", "conv_id", "turn_idx", "outcome")
+        .collect()
+    }
+    assert got == want and got  # identical operator, two engines
+
+
+def test_windowed_counts_with_watermark(spark, tmp_path):
+    path = str(tmp_path / "stream_in3")
+    rows = [("c1", i, "user", "x", "search") for i in range(10)]
+    _write_batch(spark, path, rows)
+    stream = stream_transcripts(spark, path)
+    routed = with_send_outcome(fan_out(stream, fixtures.routes_df(spark)))
+    agg = windowed_sink_counts(routed)
+    # append mode emits only closed windows; with a single batch nothing
+    # closes — use update-compatible complete mode for the smoke
+    run_to_memory(agg, "win_out", output_mode="complete")
+    out = spark.sql("SELECT sink, sum(n) AS n FROM win_out GROUP BY sink").collect()
+    got = {r["sink"]: r["n"] for r in out}
+    assert got["sink_all"] == 10 and got["sink_tools"] == 10
