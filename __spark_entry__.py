@@ -265,6 +265,61 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+RETRY_CAP = 50  # small cap at test scale so overflow actually happens
+
+
+def q_retry_outcomes(spark, sf_dir):
+    """T6/O3: retryable sends, bounded retry queue, overflow drops."""
+    from apm_opentelemetry_collector_spark.operators.route import with_retry_outcome
+
+    routed = fan_out(_chain_valid(spark, sf_dir), fixtures.routes_df(spark))
+    out = with_retry_outcome(routed, CFG, retry_queue_size=RETRY_CAP)
+    return out.select(
+        "sink", "conv_id", "turn_idx", "outcome", "drop_reason", "result_code", "attempts"
+    )
+
+
+def q_sent_stats(spark, sf_dir):
+    """A6: omnishard_sent_spans/_bytes per (sink, result_code)
+    (telemetry.go:164-190)."""
+    from apm_opentelemetry_collector_spark.operators.route import with_retry_outcome
+
+    routed = fan_out(_chain_valid(spark, sf_dir), fixtures.routes_df(spark))
+    out = with_retry_outcome(routed, CFG, retry_queue_size=RETRY_CAP)
+    return out.groupBy("sink", "result_code").agg(
+        F.count("*").alias("sent_spans"),
+        F.sum(F.length("text")).alias("sent_bytes"),
+        F.sum("attempts").alias("total_attempts"),
+    )
+
+
+def q_enqueued_stats(spark, sf_dir):
+    """A3: enqueued vs dequeued spans per sink (telemetry.go:96-126):
+    enqueued = all routed rows, dequeued = rows surviving the send."""
+    out = _chain_outcomes(spark, sf_dir)
+    return out.groupBy("sink").agg(
+        F.count("*").alias("enqueued_spans"),
+        F.sum(F.when(F.col("outcome") == "accepted", 1).otherwise(0)).alias(
+            "dequeued_spans"
+        ),
+    )
+
+
+def q_backpressure_matrix(spark, sf_dir):
+    """S4 matrix (opencensus_test.go:410-590): same protocol violations
+    are REFUSED with backpressure on, silently DROPPED with it off."""
+    tr = derive_transcripts(spark, sf_dir)
+    _, rej_on = split_valid(tr, backpressure_on=True)
+    _, rej_off = split_valid(tr, backpressure_on=False)
+    a = rej_on.groupBy("outcome").agg(F.count("*").alias("n")).withColumn(
+        "backpressure", F.lit("on")
+    )
+    b = rej_off.groupBy("outcome").agg(F.count("*").alias("n")).withColumn(
+        "backpressure", F.lit("off")
+    )
+    return a.unionByName(b).select("backpressure", "outcome", "n")
+
+
 def q_topk_users_by_value(spark, sf_dir):
     """Top-3 users per event_type by exact decimal value sum (window
     row_number — the standard top-k-per-group plan)."""
@@ -412,6 +467,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # truncation (P4) + A2 stats
         "doc_truncation": q_doc_truncation,
         "xl_span_stats": q_xl_span_stats,
+        # retry/backpressure taxonomy (T6, O3, S4, A3, A6)
+        "retry_outcomes": q_retry_outcomes,
+        "sent_stats": q_sent_stats,
+        "enqueued_stats": q_enqueued_stats,
+        "backpressure_matrix": q_backpressure_matrix,
         # time/window ops
         "events_sessionize": q_events_sessionize,
         "topk_users_by_value": q_topk_users_by_value,
@@ -434,6 +494,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------- oracle SQL
+def _retry_chain_sql() -> str:
+    """ROUTED chain + deterministic retry-queue CTEs (mirrors
+    operators.route.with_retry_outcome)."""
+    return (
+        sqlgen.pipeline_with(
+            sqlgen.TRANSCRIPTS_CTE,
+            sqlgen.INVALID_CTE,
+            sqlgen.FILLED_CTE,
+            sqlgen.VALID_CTE,
+            sqlgen.ROUTED_CTE,
+        )
+        + f"""
+, sig AS (
+  SELECT routed.*,
+         substr(md5(conv_id || ':' || CAST(turn_idx AS VARCHAR) || ':' || sink), 1, 2) AS p2
+  FROM routed
+), seq AS (
+  SELECT sig.*,
+         sum(CASE WHEN p2 = 'fe' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY sink ORDER BY conv_id, turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS retry_seq
+  FROM sig
+), retry AS (
+  SELECT seq.*,
+    CASE WHEN p2 = 'ff' THEN 'dropped'
+         WHEN p2 = 'fe' AND retry_seq > {RETRY_CAP} THEN 'dropped'
+         ELSE 'accepted' END AS outcome,
+    CASE WHEN p2 = 'ff' THEN 'SendErrNotRetryable'
+         WHEN p2 = 'fe' AND retry_seq > {RETRY_CAP} THEN 'RetryQueueFull' END AS drop_reason,
+    CASE WHEN p2 = 'ff' THEN 'FAILED_NOT_RETRYABLE'
+         WHEN p2 = 'fe' THEN 'FAILED_RETRYABLE'
+         ELSE 'SUCCESS' END AS result_code,
+    CASE WHEN p2 = 'fe' AND retry_seq <= {RETRY_CAP} THEN 2 ELSE 1 END AS attempts
+  FROM seq
+)"""
+    )
 def _minhash_sql(threshold: float = 0.5) -> str:
     n = dd.N_HASHES
     rpb = n // dd.N_BANDS
@@ -739,6 +835,30 @@ FROM m""",
 SELECT source, count(*) AS xl_spans, sum(n_chars) AS xl_size
 FROM documents WHERE length(text) > {TRUNC_CAP}
 GROUP BY source""",
+        "retry_outcomes": _retry_chain_sql()
+        + """
+SELECT sink, conv_id, turn_idx, outcome, drop_reason, result_code, attempts
+FROM retry""",
+        "sent_stats": _retry_chain_sql()
+        + """
+SELECT sink, result_code, count(*) AS sent_spans,
+       sum(length(text)) AS sent_bytes, sum(attempts) AS total_attempts
+FROM retry GROUP BY sink, result_code""",
+        "enqueued_stats": sqlgen.chain_to_outcomes()
+        + """
+SELECT sink, count(*) AS enqueued_spans,
+       sum(CASE WHEN outcome = 'accepted' THEN 1 ELSE 0 END) AS dequeued_spans
+FROM outcomes GROUP BY sink""",
+        "backpressure_matrix": sqlgen.pipeline_with(
+            sqlgen.TRANSCRIPTS_CTE, sqlgen.INVALID_CTE
+        )
+        + """
+, rej AS (
+  SELECT t.* FROM transcripts t JOIN invalid_convs i ON i.conv_id = t.conv_id
+)
+SELECT 'on' AS backpressure, 'refused' AS outcome, count(*) AS n FROM rej
+UNION ALL
+SELECT 'off', 'dropped', count(*) FROM rej""",
         "events_sessionize": """
 WITH gaps AS (
   SELECT user_id, event_id, ts,

@@ -24,10 +24,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from ..config import (
+    DROP_RETRY_QUEUE_FULL,
     DROP_SEND_NOT_RETRYABLE,
     OUTCOME_ACCEPTED,
     OUTCOME_DROPPED,
+    RESULT_FAILED_NOT_RETRYABLE,
+    RESULT_FAILED_RETRYABLE,
+    RESULT_SUCCESS,
+    RETRY_QUEUE_SIZE,
     PipelineConfig,
 )
 
@@ -69,6 +76,73 @@ def with_send_outcome(routed: DataFrame, cfg: PipelineConfig | None = None) -> D
     ).withColumn(
         "drop_reason",
         F.when(is_drop, F.lit(DROP_SEND_NOT_RETRYABLE)).otherwise(F.lit(None).cast("string")),
+    )
+
+
+def with_retry_outcome(
+    routed: DataFrame,
+    cfg: PipelineConfig | None = None,
+    retry_queue_size: int = RETRY_QUEUE_SIZE,
+    retry_md5_prefix: str = "fe",
+) -> DataFrame:
+    """Retry-queue semantics (T6/O3) as deterministic columns.
+
+    Reference: FAILED_RETRYABLE sends go to a bounded retry queue
+    (capacity 10,000; exporter.go:31-33) and are re-sent until success
+    (exporter.go:194-235); when the queue is full the batch is dropped
+    with RetryQueueFull (exporter.go:213-221; drop code
+    datadropcode.go:22).
+
+    Batch re-expression: a row is RETRYABLE iff md5(conv:turn:sink)
+    starts with `retry_md5_prefix` (disjoint from the non-retryable 'ff'
+    rule). Retryable rows ultimately succeed — attempts = 2 — except
+    those beyond the queue capacity per sink in the deterministic
+    (conv_id, turn_idx) order, which become dropped(RetryQueueFull).
+    The capacity check is a row_number window over retryable rows only
+    (rows gated out contribute nothing, like the gated packing cumsum).
+
+    Output columns: outcome, drop_reason, result_code, attempts.
+    """
+    cfg = cfg or PipelineConfig()
+    sig = F.md5(
+        F.concat(
+            F.col("conv_id"),
+            F.lit(":"),
+            F.col("turn_idx").cast("string"),
+            F.lit(":"),
+            F.col("sink"),
+        ).cast("binary")
+    )
+    is_drop = F.substring(sig, 1, len(cfg.drop_md5_prefix)) == cfg.drop_md5_prefix
+    is_retry = F.substring(sig, 1, len(retry_md5_prefix)) == retry_md5_prefix
+    w = Window.partitionBy("sink").orderBy("conv_id", "turn_idx")
+    retry_seq = F.sum(F.when(is_retry, 1).otherwise(0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    overflow = is_retry & (retry_seq > retry_queue_size)
+
+    outcome = (
+        F.when(is_drop, OUTCOME_DROPPED)
+        .when(overflow, OUTCOME_DROPPED)
+        .otherwise(OUTCOME_ACCEPTED)
+    )
+    drop_reason = (
+        F.when(is_drop, DROP_SEND_NOT_RETRYABLE)
+        .when(overflow, DROP_RETRY_QUEUE_FULL)
+        .otherwise(F.lit(None).cast("string"))
+    )
+    result_code = (
+        F.when(is_drop, RESULT_FAILED_NOT_RETRYABLE)
+        .when(is_retry & ~overflow, RESULT_FAILED_RETRYABLE)  # first attempt
+        .when(overflow, RESULT_FAILED_RETRYABLE)
+        .otherwise(RESULT_SUCCESS)
+    )
+    attempts = F.when(is_retry & ~overflow, 2).when(overflow | is_drop, 1).otherwise(1)
+    return (
+        routed.withColumn("outcome", outcome)
+        .withColumn("drop_reason", drop_reason)
+        .withColumn("result_code", result_code)
+        .withColumn("attempts", attempts.cast("int"))
     )
 
 

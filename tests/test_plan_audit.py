@@ -1,0 +1,124 @@
+"""Physical-plan audits — the 'explain and iterate until it's the plan
+you'd want' discipline as executable assertions (SURVEY.md §4).
+
+These tests fail if a future change silently degrades the plan: a config
+join falling out of broadcast, a filter not reaching the parquet scan, a
+Python UDF sneaking onto the hot path, or the fused validate+fill window
+splitting into two exchanges.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from apm_opentelemetry_collector_spark.config import PipelineConfig
+from apm_opentelemetry_collector_spark.functions import sharding
+from apm_opentelemetry_collector_spark.operators.enrich import enrich
+from apm_opentelemetry_collector_spark.operators.forward_fill import forward_fill
+from apm_opentelemetry_collector_spark.operators.route import fan_out, with_send_outcome
+from apm_opentelemetry_collector_spark.operators.validate import split_valid
+from apm_opentelemetry_collector_spark.sources import fixtures
+from apm_opentelemetry_collector_spark.sources.transcripts import derive_transcripts
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _flagship(spark):
+    tr = derive_transcripts(spark, SF)
+    valid, _ = split_valid(tr)
+    filled = forward_fill(valid)
+    enriched = enrich(filled, fixtures.service_dim_df(spark))
+    routed = with_send_outcome(fan_out(enriched, fixtures.routes_df(spark)), PipelineConfig())
+    return sharding.assign_shard(
+        routed, sharding.shards_df(spark, sharding.even_shards(4)), "conv_id"
+    )
+
+
+def test_no_rowwise_python_anywhere(spark):
+    plan = plan_of(_flagship(spark))
+    assert "BatchEvalPython" not in plan
+
+
+def test_config_joins_are_broadcast(spark):
+    plan = plan_of(_flagship(spark))
+    # shard lookup must be a broadcast HASH join (the equi-join rewrite),
+    # never a sort-merge join or shuffle of the fact side
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # routes fan-out: tiny table broadcast (nested-loop is acceptable for
+    # the pattern predicates; what matters is BuildRight broadcast)
+    assert "BroadcastNestedLoopJoin" in plan or plan.count("BroadcastHashJoin") >= 2
+
+
+def test_validate_and_fill_share_one_window_exchange(spark):
+    tr = derive_transcripts(spark, SF)
+    valid, _ = split_valid(tr)
+    plan = plan_of(forward_fill(valid))
+    # the conv_id sort exchange appears once: protocol-check first()
+    # and the two last(ignorenulls) fills ride the same Window sort
+    assert plan.count("hashpartitioning(conv_id") <= 1, plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # a projection of two columns must not read the text column
+    df = spark.read.parquet(f"{SF}/events.parquet").select("event_id", "user_id")
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "event_type" not in read_schema and "props" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/events.parquet").filter(F.col("user_id") == 7)
+    plan = plan_of(df)
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l]
+    assert pushed and "user_id" in pushed[0]
+
+
+def test_whole_stage_codegen_covers_parse(spark):
+    # exchange-free plan (scan + parse projection): AQE doesn't wrap it,
+    # so the executed plan shows the codegen span directly — the grok
+    # expressions must live INSIDE WholeStageCodegen, not in a Python node
+    from apm_opentelemetry_collector_spark.functions.parse import parse_cols
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("text"))
+        .select(parse_cols("text").alias("parsed"))
+    )
+    plan = plan_of(df)
+    # Known plan shape: the scalar regexp extracts codegen, but the kv
+    # map (map_from_arrays + transform lambdas) is CodegenFallback —
+    # still JVM-side interpreted expressions, NOT Python. The audit
+    # guards the actual invariants: a codegen'd vectorized scan and zero
+    # Python eval nodes on the parse path.
+    assert "*(1)" in plan  # codegen span exists (vectorized scan side)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # the severity-only projection (no higher-order fns) must codegen fully
+    slim = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.regexp_extract("text", r"\[(INFO|WARN|ERROR)\]", 1).alias("sev"))
+    )
+    sp = plan_of(slim)
+    assert "*(1) Project" in sp or "WholeStageCodegen" in sp
+
+
+def test_partition_pruning_on_layout(spark, tmp_path):
+    from apm_opentelemetry_collector_spark.sources.transcripts import (
+        synth_transcripts,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "layout")
+    write_partitioned(synth_transcripts(spark, 2000, 40), path, n_buckets=4)
+    df = spark.read.parquet(path).filter(F.col("conv_bucket") == 2)
+    plan = plan_of(df)
+    # partition filter handled at scan planning: no conv_bucket post-filter
+    # and the scan reports partition filters
+    assert df.count() > 0
+    assert "PartitionFilters: [isnotnull(conv_bucket" in plan or "conv_bucket#" in plan.split("PartitionFilters")[1][:200]
