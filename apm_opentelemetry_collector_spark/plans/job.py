@@ -84,6 +84,8 @@ def _process(
     out_dir: str,
     cfg: PipelineConfig,
     bucket: int | None,
+    routes: DataFrame | None = None,
+    shards: list[dict] | None = None,
 ) -> dict:
     """Run the pipeline over one bucket (or all) and write outputs.
 
@@ -92,7 +94,7 @@ def _process(
     aggregate is then derived from the written files — no stage of the
     lineage is computed twice.
     """
-    res = run_pipeline(spark, transcripts, cfg)
+    res = run_pipeline(spark, transcripts, cfg, routes=routes, shards=shards)
     routed = sharding_safe_batches(res.routed, cfg)
     sub = f"bucket={bucket}" if bucket is not None else "all"
 
@@ -154,10 +156,14 @@ def run_job(
     cfg: PipelineConfig | None = None,
     n_buckets: int | None = 16,
     fail_after: int | None = None,
+    routes: DataFrame | None = None,
+    shards: list[dict] | None = None,
 ) -> JobResult:
     """Run (or resume) the full job. Buckets with a manifest are skipped.
 
-    fail_after injects a crash after that many buckets (kill-replay tests).
+    routes/shards override the default fixtures (e.g. loaded from the
+    YAML service config). fail_after injects a crash after that many
+    buckets (kill-replay tests).
     """
     cfg = cfg or PipelineConfig()
     manifests: list[dict] = []
@@ -168,7 +174,9 @@ def run_job(
         if 0 in completed_buckets(out_dir):
             skipped.append(0)
         else:
-            manifests.append(_process(spark, transcripts, out_dir, cfg, None))
+            manifests.append(
+                _process(spark, transcripts, out_dir, cfg, None, routes, shards)
+            )
             _write_manifest(out_dir, 0, manifests[-1])
             run.append(0)
         return JobResult(out_dir, run, skipped, manifests)
@@ -182,7 +190,7 @@ def run_job(
         if fail_after is not None and len(run) >= fail_after:
             raise RuntimeError(f"injected failure after {fail_after} buckets")
         part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        m = _process(spark, part, out_dir, cfg, b)
+        m = _process(spark, part, out_dir, cfg, b, routes, shards)
         _write_manifest(out_dir, b, m)
         manifests.append(m)
         run.append(b)
