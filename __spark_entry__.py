@@ -430,6 +430,43 @@ def q_embedding_neardup(spark, sf_dir):
     return out.withColumn("cos", F.round("cos", 6))
 
 
+def q_record_encode_stats(spark, sf_dir):
+    """P5/P6 + A4 (rows-only check: gzip bytes are not SQL-expressible):
+    encoded sink records with compress factors. The byte format itself is
+    covered by the decode-exactly-once pytest oracle (tests/test_encode)."""
+    from apm_opentelemetry_collector_spark.operators.encode import encode_records
+
+    sharded = _chain_sharded(spark, sf_dir)
+    accepted = sharded.filter(F.col("outcome") == "accepted")
+    packed = assign_batches(accepted, CFG, use_char_length=True)
+    recs = encode_records(packed)
+    return recs.select(
+        "sink",
+        "shard_id",
+        "batch_no",
+        "partition_key",
+        "span_count",
+        "uncompressed_bytes",
+        "compressed_bytes",
+        (F.col("uncompressed_bytes") / F.col("compressed_bytes")).cast("bigint").alias(
+            "compress_factor"
+        ),
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal plumbing (rows-only check: binary payloads + stubbed
+    decoder): synthesize media per document, extract features via the
+    Arrow-batched mapInPandas pass."""
+    from apm_opentelemetry_collector_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return extract_features(synth_media(docs)).drop("batch_rows")
+
+
 def q_ivf_knn(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     out = ivf_knn(emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=2)
@@ -490,6 +527,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_same_source": q_ngram_jaccard_same_source,
         "embedding_neardup": q_embedding_neardup,
         "ivf_knn": q_ivf_knn,
+        # non-SQL-expressible paths (rows-only checks; byte format and
+        # batch shape are covered by pytest oracles instead)
+        "record_encode_stats": q_record_encode_stats,
+        "multimodal_features": q_multimodal_features,
     }
 
 
