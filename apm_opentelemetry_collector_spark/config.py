@@ -66,6 +66,11 @@ class PipelineConfig:
     # Deterministic send-failure rule: routed row is dropped iff the first
     # two hex chars of md5(conv_id:turn_idx:sink) equal this value (~0.39%).
     drop_md5_prefix: str = "ff"
+    # forward-fill physical strategy: 'window' (one sort per conv — the
+    # default; cheapest when conversations are bounded) or 'join'
+    # (bucketed anchors join — immune to a single hot conversation
+    # serializing the stage; see BENCH/BASELINE.md §5).
+    fill_strategy: str = "window"
     # Receiver backpressure toggle (receiver/opencensusreceiver/config.go:47):
     # True → protocol-violating conversations are REFUSED (counted, visible
     # to the sender); False → they are silently DROPPED (RPC succeeds).

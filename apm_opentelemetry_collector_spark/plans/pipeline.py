@@ -69,8 +69,14 @@ def run_pipeline(
 
     # receiver stage: protocol validation (F1/S4)
     valid, rejected = split_valid(transcripts, cfg.backpressure_on)
-    # node multiplexing (S3/W1)
-    valid = forward_fill(valid)
+    # node multiplexing (S3/W1) — window by default; bucketed anchors
+    # join under hot-conversation skew (cfg.fill_strategy)
+    if cfg.fill_strategy == "join":
+        from ..operators.forward_fill import forward_fill_join
+
+        valid = forward_fill_join(valid)
+    else:
+        valid = forward_fill(valid)
     # parse (P1) — vectorized; column-expression grok by default
     valid = with_parsed(valid, use_pandas_udf=use_pandas_udf_parse)
     # XL truncation (P4) — rewrites text, may mark fatal drops
