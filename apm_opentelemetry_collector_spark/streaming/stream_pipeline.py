@@ -104,6 +104,33 @@ def windowed_sink_counts(
     )
 
 
+def write_sinks_stream(
+    routed: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Exactly-once streaming sink: foreachBatch writing per-sink parquet.
+
+    The reference guarantees at-least-once with retries + drop codes
+    (exporter.go:194-290); Structured Streaming's checkpoint + foreachBatch
+    upgrades that to exactly-once for file sinks: a micro-batch replayed
+    after a crash rewrites the same epoch deterministically (idempotent
+    overwrite by epoch directory). This is the streaming twin of the
+    batch job's manifest-gated buckets (plans/job.py).
+    """
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        (
+            df.write.mode("overwrite")
+            .partitionBy("sink")
+            .parquet(f"{out_dir}/epoch={epoch_id}")
+        )
+
+    return (
+        routed.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:
