@@ -374,6 +374,26 @@ def q_top_customers(spark, sf_dir):
     )
 
 
+def q_distinct_users_per_type(spark, sf_dir):
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event_type (Spark percentile ≡
+    DuckDB quantile_cont, both linear interpolation over sorted values)."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
 # ----------------------------------------------------------- training-data
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup_groups(_load(spark, sf_dir, "documents"))
@@ -512,9 +532,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # time/window ops
         "events_sessionize": q_events_sessionize,
         "topk_users_by_value": q_topk_users_by_value,
-        # generic engine sanity (Catalyst agg/join/topk)
+        # generic engine sanity (Catalyst agg/join/topk/percentiles)
         "q1_pricing_summary": q_q1_pricing_summary,
         "top_customers": q_top_customers,
+        "distinct_users_per_type": q_distinct_users_per_type,
+        "value_percentiles": q_value_percentiles,
         # training-data ops (documents/embeddings)
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -950,6 +972,15 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY total_spent DESC, c_custkey ASC
 LIMIT 10""",
+        "distinct_users_per_type": """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type""",
+        "value_percentiles": """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       min(value) AS vmin, max(value) AS vmax
+FROM events GROUP BY event_type""",
         "dedup_exact": f"""
 SELECT {g.FINGERPRINT_SQL.format(col='text')} AS fingerprint,
        min(doc_id) AS keep_id, count(*) AS n_dups
