@@ -394,6 +394,34 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP subtotals (SURVEY §2.5: free from Spark, absent in the
+    reference): order counts + exact decimal totals per (priority,
+    status), per priority, and grand total."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_pivot_status_by_priority(spark, sf_dir):
+    """Pivot with a pinned column list (stable schema both engines)."""
+    orders = _load(spark, sf_dir, "orders")
+    statuses = ["F", "O", "P"]  # pinned → stable schema at every sf
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .count()
+        .na.fill(0)
+    )
+    for s in statuses:
+        out = out.withColumnRenamed(s, f"n_{s.lower()}")
+    return out
+
+
 # ----------------------------------------------------------- training-data
 def q_dedup_exact(spark, sf_dir):
     return dd.exact_dedup_groups(_load(spark, sf_dir, "documents"))
@@ -537,6 +565,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "distinct_users_per_type": q_distinct_users_per_type,
         "value_percentiles": q_value_percentiles,
+        "rollup_orders": q_rollup_orders,
+        "pivot_status_by_priority": q_pivot_status_by_priority,
         # training-data ops (documents/embeddings)
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
@@ -972,6 +1002,17 @@ FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_custkey, c_name
 ORDER BY total_spent DESC, c_custkey ASC
 LIMIT 10""",
+        "rollup_orders": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "pivot_status_by_priority": """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders GROUP BY o_orderpriority""",
         "distinct_users_per_type": """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type""",
