@@ -645,8 +645,9 @@ WITH docs_n AS (
   FROM documents
 ), sh AS (
   SELECT DISTINCT id, substr(norm, CAST(i AS INTEGER), {dd.SHINGLE_LEN}) AS shingle
-  FROM docs_n, range(1, 5001) t(i)
-  WHERE length(norm) >= {dd.SHINGLE_LEN} AND i <= length(norm) - {dd.SHINGLE_LEN - 1}
+  FROM (SELECT id, norm,
+               unnest(range(1, length(norm) - {dd.SHINGLE_LEN - 2})) AS i
+        FROM docs_n WHERE length(norm) >= {dd.SHINGLE_LEN})
 ), sig AS (
   SELECT id, {mins} FROM sh GROUP BY id
 ), bands AS ({band_selects}
@@ -697,8 +698,9 @@ WITH docs_n AS (
   FROM documents
 ), sh AS (
   SELECT DISTINCT id, substr(norm, CAST(i AS INTEGER), {dd.SHINGLE_LEN}) AS shingle
-  FROM docs_n, range(1, 5001) t(i)
-  WHERE length(norm) >= {dd.SHINGLE_LEN} AND i <= length(norm) - {dd.SHINGLE_LEN - 1}
+  FROM (SELECT id, norm,
+               unnest(range(1, length(norm) - {dd.SHINGLE_LEN - 2})) AS i
+        FROM docs_n WHERE length(norm) >= {dd.SHINGLE_LEN})
 ), votes AS (
   SELECT id, {votes_sql} FROM sh GROUP BY id
 )
@@ -713,8 +715,9 @@ WITH docs_n AS (
   FROM documents
 ), sh AS (
   SELECT DISTINCT id, substr(norm, CAST(i AS INTEGER), {dd.SHINGLE_LEN}) AS shingle
-  FROM docs_n, range(1, 5001) t(i)
-  WHERE length(norm) >= {dd.SHINGLE_LEN} AND i <= length(norm) - {dd.SHINGLE_LEN - 1}
+  FROM (SELECT id, norm,
+               unnest(range(1, length(norm) - {dd.SHINGLE_LEN - 2})) AS i
+        FROM docs_n WHERE length(norm) >= {dd.SHINGLE_LEN})
 ), cand AS (
   SELECT a.id AS id_a, b.id AS id_b
   FROM docs_n a JOIN docs_n b ON a.source = b.source AND a.id < b.id
@@ -874,7 +877,7 @@ FROM transcripts t JOIN invalid_convs i ON i.conv_id = t.conv_id""",
         + """
 SELECT sink, shard_id, batch_no,
        count(*) AS span_count,
-       sum(length(text)) AS uncompressed_bytes,
+       CAST(sum(length(text)) AS BIGINT) AS uncompressed_bytes,
        min(conv_id) AS partition_key
 FROM packed GROUP BY sink, shard_id, batch_no""",
         "flushed_stats": sqlgen.chain_to_packed(SHARDS, CFG.max_record_size)
@@ -884,8 +887,9 @@ FROM packed GROUP BY sink, shard_id, batch_no""",
          sum(length(text)) AS uncompressed_bytes
   FROM packed GROUP BY sink, shard_id, batch_no
 )
-SELECT sink, shard_id, sum(span_count) AS flushed_spans,
-       count(*) AS flushed_batches, sum(uncompressed_bytes) AS flushed_bytes
+SELECT sink, shard_id, CAST(sum(span_count) AS BIGINT) AS flushed_spans,
+       count(*) AS flushed_batches,
+       CAST(sum(uncompressed_bytes) AS BIGINT) AS flushed_bytes
 FROM recs GROUP BY sink, shard_id""",
         "dropped_stats": sqlgen.chain_to_outcomes()
         + """
@@ -894,8 +898,8 @@ FROM outcomes WHERE outcome = 'dropped' GROUP BY sink, drop_reason""",
         "conservation": sqlgen.chain_to_outcomes()
         + """
 SELECT sink, count(*) AS n_routed,
-       sum(CASE WHEN outcome = 'accepted' THEN 1 ELSE 0 END) AS n_accepted,
-       sum(CASE WHEN outcome = 'dropped' THEN 1 ELSE 0 END) AS n_dropped
+       CAST(sum(CASE WHEN outcome = 'accepted' THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+       CAST(sum(CASE WHEN outcome = 'dropped' THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM outcomes GROUP BY sink""",
         "sampler_counts": sqlgen.chain_to_transcripts()
         + """
@@ -925,7 +929,7 @@ SELECT doc_id,
             ELSE text END AS new_text
 FROM m""",
         "xl_span_stats": f"""
-SELECT source, count(*) AS xl_spans, sum(n_chars) AS xl_size
+SELECT source, count(*) AS xl_spans, CAST(sum(n_chars) AS BIGINT) AS xl_size
 FROM documents WHERE length(text) > {TRUNC_CAP}
 GROUP BY source""",
         "retry_outcomes": _retry_chain_sql()
@@ -935,12 +939,13 @@ FROM retry""",
         "sent_stats": _retry_chain_sql()
         + """
 SELECT sink, result_code, count(*) AS sent_spans,
-       sum(length(text)) AS sent_bytes, sum(attempts) AS total_attempts
+       CAST(sum(length(text)) AS BIGINT) AS sent_bytes,
+       CAST(sum(attempts) AS BIGINT) AS total_attempts
 FROM retry GROUP BY sink, result_code""",
         "enqueued_stats": sqlgen.chain_to_outcomes()
         + """
 SELECT sink, count(*) AS enqueued_spans,
-       sum(CASE WHEN outcome = 'accepted' THEN 1 ELSE 0 END) AS dequeued_spans
+       CAST(sum(CASE WHEN outcome = 'accepted' THEN 1 ELSE 0 END) AS BIGINT) AS dequeued_spans
 FROM outcomes GROUP BY sink""",
         "backpressure_matrix": sqlgen.pipeline_with(
             sqlgen.TRANSCRIPTS_CTE, sqlgen.INVALID_CTE
@@ -964,8 +969,8 @@ WITH gaps AS (
   FROM gaps
 ), sess AS (
   SELECT user_id, event_id, ts,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM marked
 )
 SELECT user_id, session_no, count(*) AS n_events,

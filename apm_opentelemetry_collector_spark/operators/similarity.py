@@ -42,10 +42,14 @@ def centroids(
         F.col(cluster_col).alias("cluster"),
         F.posexplode(as_double(vec_col)).alias("pos", "x"),
     )
+    # Divide in IEEE double (sum cast to double FIRST), matching the
+    # oracle's CAST(sum(...) AS DOUBLE) / count(*) operation order —
+    # decimal division then a final cast can differ in the last ulp and
+    # flip the n_probe centroid ranking.
     means = comp.groupBy("cluster", "pos").agg(
         (
-            F.sum(F.col("x").cast(CENTROID_DECIMAL)) / F.count("*")
-        ).cast("double").alias("m")
+            F.sum(F.col("x").cast(CENTROID_DECIMAL)).cast("double") / F.count("*")
+        ).alias("m")
     )
     return (
         means.groupBy("cluster")
