@@ -121,24 +121,31 @@ def _process(
             F.crc32(F.concat_ws("|", "conv_id", "turn_idx", "sink", "outcome"))
         ).alias("crc"),
     )
-    rows = sink_counts.collect()
+    # Metrics are written by Spark directly — never collected to the
+    # driver: cardinality is sinks × n_conv_buckets × roles × tools ×
+    # outcomes, and n_conv_buckets is "a few thousand" on a real cluster.
     metrics_dir = os.path.join(out_dir, "metrics", sub)
-    spark.createDataFrame(rows, sink_counts.schema).write.mode("overwrite").parquet(
-        metrics_dir
-    )
-    n_rejected = res.rejected.count()
+    sink_counts.write.mode("overwrite").parquet(metrics_dir)
 
-    by_outcome: dict[str, int] = {}
-    checksum = 0
-    for r in rows:
-        by_outcome[r["outcome"]] = by_outcome.get(r["outcome"], 0) + r["n"]
-        checksum += r["crc"] or 0
+    # The manifest totals come from a second aggregate over the WRITTEN
+    # metrics table (tiny scan), collapsed to one row per outcome —
+    # the only .collect() in the runner, bounded by #outcomes (≤4).
+    totals = (
+        spark.read.parquet(metrics_dir)
+        .groupBy("outcome")
+        .agg(F.sum("n").alias("n"), F.sum("crc").alias("crc"))
+        .collect()
+    )
+    n_rejected = spark.read.parquet(rejected_dir).count()
+
+    by_outcome = {r["outcome"]: int(r["n"]) for r in totals}
+    checksum = sum(int(r["crc"] or 0) for r in totals)
     return {
         "bucket": bucket,
         "routed_rows": int(sum(by_outcome.values())),
         "by_outcome": by_outcome,
         "rejected_rows": int(n_rejected),
-        "checksum": int(checksum or 0),
+        "checksum": int(checksum),
         "completed_at": time.time(),
     }
 
@@ -147,6 +154,46 @@ def sharding_safe_batches(routed: DataFrame, cfg: PipelineConfig) -> DataFrame:
     """Attach batch_no to accepted rows (NULL for dropped ones), packing
     only accepted bytes — single scan via the gated cumsum."""
     return assign_batches(routed, cfg, gate=F.col("outcome") == "accepted")
+
+
+def bucket_slice(transcripts: DataFrame, bucket: int, n_buckets: int) -> DataFrame:
+    """One bucket's input slice, scan-pruned when the layout allows.
+
+    If the input carries the write_partitioned `conv_bucket` partition
+    column (same pmod(xxhash64(conv_id), n) bucketing as bucket_expr),
+    filter on IT — the parquet scan then prunes to the bucket's files
+    (PartitionFilters; asserted in tests/test_plan_audit.py). The caller
+    must run with the layout's n_buckets. Without the column, the bucket
+    is computed on the fly, which cannot prune — run_job materializes the
+    bucketed input ONCE in that case rather than rescanning per bucket.
+    """
+    if "conv_bucket" in transcripts.columns:
+        return transcripts.filter(F.col("conv_bucket") == bucket).drop("conv_bucket")
+    return (
+        transcripts.withColumn("_bucket", bucket_expr(n_buckets))
+        .filter(F.col("_bucket") == bucket)
+        .drop("_bucket")
+    )
+
+
+def _materialize_bucketed(
+    spark: SparkSession, transcripts: DataFrame, out_dir: str, n_buckets: int
+) -> DataFrame:
+    """One full input scan + partitioned write; per-bucket reads then prune.
+
+    Idempotent across resume: if a completed `_bucketed` layout exists
+    (Spark's _SUCCESS marker) it is reused — a killed 16-bucket job
+    replays only its incomplete buckets AND never rescans the raw input.
+    """
+    bucketed_dir = os.path.join(out_dir, "_bucketed")
+    if not os.path.exists(os.path.join(bucketed_dir, "_SUCCESS")):
+        (
+            transcripts.withColumn("conv_bucket", bucket_expr(n_buckets))
+            .write.mode("overwrite")
+            .partitionBy("conv_bucket")
+            .parquet(bucketed_dir)
+        )
+    return spark.read.parquet(bucketed_dir)
 
 
 def run_job(
@@ -160,6 +207,12 @@ def run_job(
     shards: list[dict] | None = None,
 ) -> JobResult:
     """Run (or resume) the full job. Buckets with a manifest are skipped.
+
+    Input scanning is pruned, never repeated: an input that already
+    carries the write_partitioned conv_bucket layout is read per bucket
+    with partition pruning; any other input is bucket-partitioned to
+    `out_dir/_bucketed` exactly once (reused on resume) so an N-bucket
+    run costs one full scan + one write + N pruned reads, not N scans.
 
     routes/shards override the default fixtures (e.g. loaded from the
     YAML service config). fail_after injects a crash after that many
@@ -182,14 +235,16 @@ def run_job(
         return JobResult(out_dir, run, skipped, manifests)
 
     done = completed_buckets(out_dir)
-    bucketed = transcripts.withColumn("_bucket", bucket_expr(n_buckets))
+    todo = [b for b in range(n_buckets) if b not in done]
+    if "conv_bucket" not in transcripts.columns and len(todo) > 1:
+        transcripts = _materialize_bucketed(spark, transcripts, out_dir, n_buckets)
     for b in range(n_buckets):
         if b in done:
             skipped.append(b)
             continue
         if fail_after is not None and len(run) >= fail_after:
             raise RuntimeError(f"injected failure after {fail_after} buckets")
-        part = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
+        part = bucket_slice(transcripts, b, n_buckets)
         m = _process(spark, part, out_dir, cfg, b, routes, shards)
         _write_manifest(out_dir, b, m)
         manifests.append(m)

@@ -122,3 +122,43 @@ def test_partition_pruning_on_layout(spark, tmp_path):
     # and the scan reports partition filters
     assert df.count() > 0
     assert "PartitionFilters: [isnotnull(conv_bucket" in plan or "conv_bucket#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_job_bucket_slice_prunes_partitioned_layout(spark, tmp_path):
+    # run_job's per-bucket read over the write_partitioned layout must be
+    # a partition-pruned scan (one bucket's files), not a full rescan —
+    # AND slice the same rows as the on-the-fly xxhash bucketing.
+    from apm_opentelemetry_collector_spark.plans.job import bucket_expr, bucket_slice
+    from apm_opentelemetry_collector_spark.sources.transcripts import (
+        synth_transcripts,
+        write_partitioned,
+    )
+
+    raw = synth_transcripts(spark, 2000, 40)
+    path = str(tmp_path / "layout")
+    write_partitioned(raw, path, n_buckets=4)
+    pruned = bucket_slice(spark.read.parquet(path), 2, 4)
+
+    plan = plan_of(pruned)
+    assert "PartitionFilters" in plan
+    assert "conv_bucket" in plan.split("PartitionFilters")[1][:200]
+
+    direct = bucket_slice(raw, 2, 4)
+    key = lambda df: {tuple(r) for r in df.select("conv_id", "turn_idx").collect()}
+    assert key(pruned) == key(direct) and len(key(pruned)) > 0
+
+
+def test_job_runner_single_bounded_collect():
+    # the runner must never collect config-unbounded data to the driver;
+    # the ONE allowed .collect() is the ≤#outcomes manifest totals.
+    import inspect
+
+    from apm_opentelemetry_collector_spark.plans import job
+
+    src = inspect.getsource(job)
+    code = "\n".join(
+        l for l in src.splitlines() if not l.strip().startswith("#")
+    )
+    assert code.count(".collect()") == 1, "new driver-side collect in plans/job.py"
+    # ...and it is the outcome-totals chain, not a data collect
+    assert 'groupBy("outcome")' in code.split(".collect()")[0][-300:]
