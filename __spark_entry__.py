@@ -199,7 +199,18 @@ def q_conv_stats(spark, sf_dir):
 
 
 def q_metrics_translate(spark, sf_dir):
-    return to_signalfx(memorymonitor_scrape(spark))
+    # All three OS-conditional descriptor sets (monitor.go:93-112), tagged
+    # by os — 11 distinct descriptors total across linux/darwin/windows.
+    parts = [
+        to_signalfx(memorymonitor_scrape(spark, os_name=o)).withColumn(
+            "os", F.lit(o)
+        )
+        for o in ("linux", "darwin", "windows")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # XL truncation (P4) exercised on documents (texts long enough to trip a

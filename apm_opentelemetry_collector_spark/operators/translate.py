@@ -1,90 +1,169 @@
 """OC metric → SignalFx datapoint translation + memorymonitor source (P3/S7).
 
 Reference:
-  - memorymonitor scrape source emits Metric{descriptor, timeseries[point]}
-    every interval (receiver/memorymonitor/monitor.go:48-115,171-203;
-    descriptors metrics.go:29-134);
+  - memorymonitor scrape source emits, per tick, one Metric per descriptor
+    with a single-point TimeSeries (receiver/memorymonitor/monitor.go:68-115,
+    toPBMetrics :203-214). The descriptor set is OS-CONDITIONAL
+    (metrics.go:29-134 defines all 11; monitor.go:93-112 selects):
+      common      memory.utilization (GAUGE_DOUBLE, %), memory.used
+      windows     + memory.available
+      non-windows + memory.free
+      darwin      + memory.active, memory.inactive, memory.wired
+      linux       + memory.buffered, memory.cached, memory.slab_reclaimable,
+                    memory.slab_unreclaimable
+    with the derived values (monitor.go:149-168):
+      cached             = Cached - SReclaimable
+      slab_unreclaimable = Slab - SReclaimable
   - the signalfx translator explodes Metric → TimeSeries → Point and maps
-    {CUMULATIVE_* → counter, GAUGE_* → gauge}, {*_DOUBLE → float value,
-    *_INT64 → int value}, adding the constant dimension translator=otel
+    {CUMULATIVE_* → counter, GAUGE_* → gauge}, {*_DOUBLE → double value,
+    *_INT64 → int64 value} adding the constant dimension translator=otel
     (translator/metric/signalfx/opencensus_to_signalfx.go:28-88).
 
-Spark-first: the scrape source is a deterministic `spark.range` generator
-producing the NESTED shape (array of point structs per metric) so the
-translator genuinely exercises explode; the translator is two explodes +
-chained F.when — no UDFs (SURVEY.md §2.2 P3).
+Spark-first: the scrape is a deterministic `spark.range` generator — a
+synthetic mem.VirtualMemoryStat per (round, host) — producing the NESTED
+Metric shape so the translator genuinely exercises explode; the translator
+is explode + chained F.when — no UDFs (SURVEY.md §2.2 P3). The field and
+value arithmetic lives ONCE as SQL expression strings (FIELD_SQL /
+DESCRIPTORS) consumed verbatim by both the Spark plan (F.expr) and the
+DuckDB oracle, so the two cannot drift.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# (name, unit, oc_type) — a slice of the memorymonitor descriptor set
-# (receiver/memorymonitor/metrics.go:29-134).
+# Synthetic mem.VirtualMemoryStat: every field is a pure function of the
+# per-(round, host) seed `s`. Cached/Slab embed SReclaimable so the
+# reference's subtractions stay non-negative, as they are for real stats.
+FIELD_SQL = {
+    "used_percent": "(s % 1000) / 10.0",
+    "used": "(s * 37) % 1000000 + 100000",
+    "available": "(s * 41) % 1000000",
+    "free": "(s * 43) % 1000000",
+    "active": "(s * 47) % 1000000",
+    "inactive": "(s * 53) % 1000000",
+    "wired": "(s * 59) % 1000000",
+    "buffers": "(s * 61) % 1000000",
+    "sreclaimable": "(s * 71) % 100000",
+    "cached": "(s * 67) % 1000000 + (s * 71) % 100000",
+    "slab": "(s * 71) % 100000 + (s * 73) % 100000",
+}
+
+# (name, unit, oc_type, gate, value expression over FIELD_SQL columns) —
+# the FULL descriptor set, reference order (metrics.go:122-134).
 DESCRIPTORS = [
-    ("memory_used", "By", "GAUGE_INT64"),
-    ("memory_available", "By", "GAUGE_INT64"),
-    ("swap_used", "By", "GAUGE_INT64"),
-    ("cpu_seconds", "s", "CUMULATIVE_DOUBLE"),
-    ("load_avg", "1", "GAUGE_DOUBLE"),
-    ("page_faults", "1", "CUMULATIVE_INT64"),
+    ("memory.utilization", "%", "GAUGE_DOUBLE", "common", "used_percent"),
+    ("memory.used", "By", "GAUGE_INT64", "common", "used"),
+    ("memory.available", "By", "GAUGE_INT64", "windows", "available"),
+    ("memory.free", "By", "GAUGE_INT64", "nonwindows", "free"),
+    ("memory.active", "By", "GAUGE_INT64", "darwin", "active"),
+    ("memory.inactive", "By", "GAUGE_INT64", "darwin", "inactive"),
+    ("memory.wired", "By", "GAUGE_INT64", "darwin", "wired"),
+    ("memory.buffered", "By", "GAUGE_INT64", "linux", "buffers"),
+    ("memory.cached", "By", "GAUGE_INT64", "linux", "cached - sreclaimable"),
+    ("memory.slab_reclaimable", "By", "GAUGE_INT64", "linux", "sreclaimable"),
+    (
+        "memory.slab_unreclaimable",
+        "By",
+        "GAUGE_INT64",
+        "linux",
+        "slab - sreclaimable",
+    ),
 ]
 
-N_METRICS = 60          # 10 scrape rounds × 6 descriptors
-POINTS_PER_SERIES = 2
+N_ROUNDS = 10  # scrape ticks
+N_HOSTS = 3
+SCRAPE_INTERVAL_S = 10
+BASE_TS = "2024-01-01 00:00:00"
 
 
-def memorymonitor_scrape(spark: SparkSession) -> DataFrame:
-    """Deterministic nested metric batch: one row per Metric with an array
-    of Point structs (the TimeSeries), pure function of the range id."""
-    df = spark.range(0, N_METRICS)
-    m = F.col("id")
-    didx = m % len(DESCRIPTORS)
-    name = F.element_at(
-        F.array(*[F.lit(d[0]) for d in DESCRIPTORS]), (didx + 1).cast("int")
-    )
-    unit = F.element_at(
-        F.array(*[F.lit(d[1]) for d in DESCRIPTORS]), (didx + 1).cast("int")
-    )
-    oc_type = F.element_at(
-        F.array(*[F.lit(d[2]) for d in DESCRIPTORS]), (didx + 1).cast("int")
-    )
-    base_ts = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+def os_descriptors(os_name: str) -> list[tuple[str, str, str, str, str]]:
+    """The descriptor subset a host of `os_name` emits (monitor.go:93-112)."""
+    gates = {"common"}
+    if os_name == "windows":
+        gates.add("windows")
+    else:
+        gates.add("nonwindows")
+    if os_name == "darwin":
+        gates.add("darwin")
+    if os_name == "linux":
+        gates.add("linux")
+    return [d for d in DESCRIPTORS if d[3] in gates]
 
-    def point(p: int):
-        raw = (m * 37 + F.lit(p * 11)) % 1000
-        return F.struct(
-            (base_ts + F.make_interval(secs=(m * 10 + p).cast("int"))).alias("ts"),
-            raw.cast("bigint").alias("raw"),
+
+def memorymonitor_scrape(
+    spark: SparkSession,
+    os_name: str = "linux",
+    n_rounds: int = N_ROUNDS,
+    n_hosts: int = N_HOSTS,
+) -> DataFrame:
+    """Deterministic nested metric batch: per (tick, host, descriptor) one
+    Metric row with a single-point TimeSeries — exactly the shape
+    monitor.go's scrapeAndEmit hands the consumer each tick."""
+    fields = (
+        # single partition: tens of rows per union branch — default
+        # parallelism would schedule 32 empty tasks per branch
+        spark.range(0, n_rounds * n_hosts, 1, 1)
+        .select(
+            (F.col("id") / n_hosts).cast("bigint").alias("r"),
+            (F.col("id") % n_hosts).alias("h"),
         )
-
-    return df.select(
-        name.alias("name"),
-        unit.alias("unit"),
-        oc_type.alias("oc_type"),
-        F.concat(F.lit("h"), (m % 3).cast("string")).alias("host"),
-        F.array(*[point(p) for p in range(POINTS_PER_SERIES)]).alias("points"),
+        .withColumn("s", F.expr("r * 9973 + h * 101"))
+        .select(
+            "r", "h", *[F.expr(sql).alias(k) for k, sql in FIELD_SQL.items()]
+        )
     )
+    ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
+        secs=(F.col("r") * SCRAPE_INTERVAL_S).cast("int")
+    )
+    parts = []
+    for name, unit, oc_type, _gate, val in os_descriptors(os_name):
+        is_double = oc_type.endswith("DOUBLE")
+        ival = (
+            F.lit(None).cast("bigint")
+            if is_double
+            else F.expr(val).cast("bigint")
+        )
+        dval = (
+            F.expr(val).cast("double")
+            if is_double
+            else F.lit(None).cast("double")
+        )
+        parts.append(
+            fields.select(
+                F.lit(name).alias("name"),
+                F.lit(unit).alias("unit"),
+                F.lit(oc_type).alias("oc_type"),
+                F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
+                F.array(
+                    F.struct(
+                        ts.alias("ts"), ival.alias("ival"), dval.alias("dval")
+                    )
+                ).alias("points"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def to_signalfx(metrics: DataFrame) -> DataFrame:
     """Explode Metric → Point rows with SignalFx typing.
 
-    Output: name, sf_type (counter|gauge), value (double; *_INT64 raw,
-    *_DOUBLE raw/10.0), ts, translator ('otel'), host.
+    Output: name, unit, sf_type (counter|gauge), value (double — the
+    int64/double oneof collapsed), ts, translator ('otel'), host.
     """
     pts = metrics.select(
-        "name", "oc_type", "host", F.explode("points").alias("pt")
+        "name", "unit", "oc_type", "host", F.explode("points").alias("pt")
     )
     sf_type = F.when(
         F.col("oc_type").startswith("CUMULATIVE"), "counter"
     ).otherwise("gauge")
-    value = F.when(
-        F.col("oc_type").endswith("DOUBLE"), F.col("pt.raw") / 10.0
-    ).otherwise(F.col("pt.raw").cast("double"))
+    value = F.coalesce(F.col("pt.dval"), F.col("pt.ival").cast("double"))
     return pts.select(
         "name",
+        "unit",
         sf_type.alias("sf_type"),
         value.alias("value"),
         F.col("pt.ts").alias("ts"),
@@ -93,30 +172,37 @@ def to_signalfx(metrics: DataFrame) -> DataFrame:
     )
 
 
-# DuckDB oracle twin: the flat result computed directly from range
-# arithmetic (id = metric*POINTS_PER_SERIES + point).
-def signalfx_oracle_sql() -> str:
-    names = ", ".join(f"'{d[0]}'" for d in DESCRIPTORS)
-    types = ", ".join(f"'{d[2]}'" for d in DESCRIPTORS)
-    n = len(DESCRIPTORS)
-    total = N_METRICS * POINTS_PER_SERIES
-    return f"""
-WITH flat AS (
-  SELECT CAST(i // {POINTS_PER_SERIES} AS BIGINT) AS m,
-         CAST(i % {POINTS_PER_SERIES} AS BIGINT) AS p
-  FROM range({total}) t(i)
-), typed AS (
-  SELECT m, p,
-         ([{names}])[CAST(m % {n} AS INTEGER) + 1] AS name,
-         ([{types}])[CAST(m % {n} AS INTEGER) + 1] AS oc_type,
-         (m * 37 + p * 11) % 1000 AS raw
-  FROM flat
-)
-SELECT name,
-       CASE WHEN oc_type LIKE 'CUMULATIVE%' THEN 'counter' ELSE 'gauge' END AS sf_type,
-       CASE WHEN oc_type LIKE '%DOUBLE' THEN raw / 10.0 ELSE CAST(raw AS DOUBLE) END AS value,
-       TIMESTAMP '2024-01-01 00:00:00' + to_seconds(m * 10 + p) AS ts,
-       'otel' AS translator,
-       'h' || CAST(m % 3 AS VARCHAR) AS host
-FROM typed
-"""
+def signalfx_oracle_sql(
+    oses: tuple[str, ...] = ("linux", "darwin", "windows"),
+    n_rounds: int = N_ROUNDS,
+    n_hosts: int = N_HOSTS,
+) -> str:
+    """DuckDB twin of to_signalfx(memorymonitor_scrape(os)) per OS, tagged
+    with an `os` column — same FIELD_SQL / DESCRIPTORS strings verbatim."""
+    fields_cols = ",\n         ".join(
+        f"{sql} AS {k}" for k, sql in FIELD_SQL.items()
+    )
+    branches = []
+    for os_name in oses:
+        for name, unit, oc_type, _gate, val in os_descriptors(os_name):
+            sf_type = "counter" if oc_type.startswith("CUMULATIVE") else "gauge"
+            branches.append(
+                f"""
+SELECT '{os_name}' AS os, '{name}' AS name, '{unit}' AS unit,
+       '{sf_type}' AS sf_type, CAST({val} AS DOUBLE) AS value,
+       TIMESTAMP '{BASE_TS}' + to_seconds(r * {SCRAPE_INTERVAL_S}) AS ts,
+       'otel' AS translator, 'h' || CAST(h AS VARCHAR) AS host
+FROM fields"""
+            )
+    return (
+        f"""
+WITH rh AS (
+  SELECT r, h, r * 9973 + h * 101 AS s
+  FROM range({n_rounds}) t1(r), range({n_hosts}) t2(h)
+), fields AS (
+  SELECT r, h,
+         {fields_cols}
+  FROM rh
+)"""
+        + " UNION ALL ".join(branches)
+    )

@@ -179,3 +179,33 @@ def test_conservation_accepted_plus_dropped_is_routed(spark):
     assert per_sink and all(r["n"] == r["a"] + r["d"] for r in per_sink)
     # and every input row is exactly one of admitted/rejected
     assert valid.count() + rejected.count() == tr.count()
+
+
+# --- memorymonitor descriptor set (metrics.go:29-134, monitor.go:93-112) -----
+def test_memorymonitor_os_conditional_descriptor_sets(spark):
+    from apm_opentelemetry_collector_spark.operators.translate import (
+        DESCRIPTORS,
+        memorymonitor_scrape,
+        os_descriptors,
+        to_signalfx,
+    )
+
+    assert len(DESCRIPTORS) == 11  # the full reference set
+    names = lambda os: {d[0] for d in os_descriptors(os)}
+    common = {"memory.utilization", "memory.used"}
+    assert names("windows") == common | {"memory.available"}
+    assert names("darwin") == common | {
+        "memory.free", "memory.active", "memory.inactive", "memory.wired"
+    }
+    assert names("linux") == common | {
+        "memory.free", "memory.buffered", "memory.cached",
+        "memory.slab_reclaimable", "memory.slab_unreclaimable",
+    }
+
+    out = to_signalfx(memorymonitor_scrape(spark, os_name="linux")).toPandas()
+    assert set(out["name"]) == names("linux")
+    # utilization is the one double-typed gauge; everything is a gauge here
+    assert set(out["sf_type"]) == {"gauge"}
+    assert (out["value"] >= 0).all()  # cached/slab subtractions never negative
+    util = out[out["name"] == "memory.utilization"]["value"]
+    assert ((util >= 0) & (util < 100)).all()
