@@ -276,6 +276,18 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_sessionize_window(spark, sf_dir):
+    """T5 in its idiomatic home: F.session_window sessionization (same
+    plan runs on a stream; tests/test_streaming.py proves watermark
+    close-out). Oracle twin: lag+cumsum with a `>= gap` breaker —
+    session_window's half-open interval."""
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        sessionize_session_window,
+    )
+
+    return sessionize_session_window(_load(spark, sf_dir, "events"))
+
+
 RETRY_CAP = 50  # small cap at test scale so overflow actually happens
 
 
@@ -570,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backpressure_matrix": q_backpressure_matrix,
         # time/window ops
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_window": q_events_sessionize_window,
         "topk_users_by_value": q_topk_users_by_value,
         # generic engine sanity (Catalyst agg/join/topk/percentiles)
         "q1_pricing_summary": q_q1_pricing_summary,
@@ -985,6 +998,25 @@ WITH gaps AS (
   FROM marked
 )
 SELECT user_id, session_no, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_no""",
+        "events_sessionize_window": """
+WITH gaps AS (
+  SELECT user_id, event_id, ts,
+         epoch(ts) - epoch(lag(ts) OVER w) AS gap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN gap IS NULL OR gap >= 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM gaps
+), sess AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM marked
+)
+SELECT user_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM sess GROUP BY user_id, session_no""",
         "topk_users_by_value": """

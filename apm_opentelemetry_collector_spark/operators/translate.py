@@ -94,20 +94,14 @@ def os_descriptors(os_name: str) -> list[tuple[str, str, str, str, str]]:
     return [d for d in DESCRIPTORS if d[3] in gates]
 
 
-def memorymonitor_scrape(
-    spark: SparkSession,
-    os_name: str = "linux",
-    n_rounds: int = N_ROUNDS,
-    n_hosts: int = N_HOSTS,
-) -> DataFrame:
-    """Deterministic nested metric batch: per (tick, host, descriptor) one
-    Metric row with a single-point TimeSeries — exactly the shape
-    monitor.go's scrapeAndEmit hands the consumer each tick."""
+def scrape_from_ids(ids: DataFrame, os_name: str, n_hosts: int) -> DataFrame:
+    """Metric rows from a tick-id column: id enumerates (round, host)
+    pairs; every value is the same pure function of id in the batch and
+    streaming sources. Per (tick, host, descriptor) one Metric row with a
+    single-point TimeSeries — exactly the shape monitor.go's
+    scrapeAndEmit hands the consumer each tick."""
     fields = (
-        # single partition: tens of rows per union branch — default
-        # parallelism would schedule 32 empty tasks per branch
-        spark.range(0, n_rounds * n_hosts, 1, 1)
-        .select(
+        ids.select(
             (F.col("id") / n_hosts).cast("bigint").alias("r"),
             (F.col("id") % n_hosts).alias("h"),
         )
@@ -146,6 +140,41 @@ def memorymonitor_scrape(
             )
         )
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def memorymonitor_scrape(
+    spark: SparkSession,
+    os_name: str = "linux",
+    n_rounds: int = N_ROUNDS,
+    n_hosts: int = N_HOSTS,
+) -> DataFrame:
+    """Deterministic nested metric batch (oracle-checked source)."""
+    # single partition: tens of rows per union branch — default
+    # parallelism would schedule 32 empty tasks per branch
+    return scrape_from_ids(
+        spark.range(0, n_rounds * n_hosts, 1, 1), os_name, n_hosts
+    )
+
+
+def memorymonitor_stream(
+    spark: SparkSession,
+    os_name: str = "linux",
+    n_hosts: int = N_HOSTS,
+    rows_per_second: int = 100,
+) -> DataFrame:
+    """T2 streaming twin of the scrape ticker (monitor.go:48-61): the
+    reference's time.Ticker loop maps to Structured Streaming's rate
+    source — each rate row is one (round, host) tick, expanded into the
+    SAME OS-conditional Metric rows as the batch generator (pure function
+    of the rate `value`, so batch and stream emit identical rows for
+    identical ids; asserted in tests/test_streaming.py)."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(F.col("value").alias("id"))
+    )
+    return scrape_from_ids(rate, os_name, n_hosts)
 
 
 def to_signalfx(metrics: DataFrame) -> DataFrame:

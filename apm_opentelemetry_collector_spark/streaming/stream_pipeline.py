@@ -104,6 +104,36 @@ def windowed_sink_counts(
     )
 
 
+def sessionize_session_window(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
+    """T5: gap-based sessionization in its idiomatic Spark home —
+    F.session_window — usable on both batch and streaming DataFrames.
+
+    Semantics twin of the batch lag+cumsum (q_events_sessionize):
+    identical sessions whenever no two consecutive events are EXACTLY
+    `gap` apart — session_window's interval is half-open (an event at
+    last_ts + gap starts a new session) while the batch rule's
+    `gap > G` breaker merges it. With microsecond timestamps the
+    boundary case has measure zero; the equality is asserted on real
+    data in tests/test_streaming.py.
+
+    Output: user_id, session_start, session_end, n_events — session_no
+    is an ordinal only the batch cumsum can assign (streaming sessions
+    emit unordered); join on (user_id, session_start) to correlate.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .drop("session_window")
+    )
+
+
 def write_sinks_stream(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ):
