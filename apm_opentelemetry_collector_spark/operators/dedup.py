@@ -20,6 +20,9 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+import tempfile
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -33,6 +36,32 @@ N_BANDS = 2  # rows per band = N_HASHES // N_BANDS = 4
 # verify join. The minhash estimator E[agree/N] = J, so this prunes pairs
 # whose estimated similarity is far below the dedup threshold.
 EST_MIN = 0.5
+
+
+@dataclass(frozen=True)
+class MinHashConfig:
+    """Banding parameters. The defaults are the CI-scale setting the
+    DuckDB oracle mirrors (8 hashes / 2 bands); PRODUCTION is the
+    128-hash / 32-band configuration for real corpora — same plan shape,
+    just wider signatures (candidate probability 1-(1-J^4)^32)."""
+
+    n_hashes: int = N_HASHES
+    n_bands: int = N_BANDS
+    est_min: float = EST_MIN
+
+    def __post_init__(self) -> None:
+        if self.n_hashes % self.n_bands:
+            raise ValueError(
+                f"n_hashes={self.n_hashes} not divisible by n_bands={self.n_bands}"
+            )
+
+    @property
+    def rows_per_band(self) -> int:
+        return self.n_hashes // self.n_bands
+
+
+CI_BANDING = MinHashConfig()
+PRODUCTION_BANDING = MinHashConfig(n_hashes=128, n_bands=32)
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -71,26 +100,26 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     )
 
 
-def minhash_signatures(sh: DataFrame) -> DataFrame:
-    """MinHash signature per doc: m0..m{N_HASHES-1}, each the min over
+def minhash_signatures(sh: DataFrame, cfg: MinHashConfig = CI_BANDING) -> DataFrame:
+    """MinHash signature per doc: m0..m{n_hashes-1}, each the min over
     shingles of md5('<j>:' || shingle)."""
     aggs = [
         F.min(
             F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))
         ).alias(f"m{j}")
-        for j in range(N_HASHES)
+        for j in range(cfg.n_hashes)
     ]
     return sh.groupBy("id").agg(*aggs)
 
 
-def lsh_bands(sig: DataFrame) -> DataFrame:
+def lsh_bands(sig: DataFrame, cfg: MinHashConfig = CI_BANDING) -> DataFrame:
     """Band keys: md5 of the concatenated rows of each band.
 
     Output: id, band_idx, band_key.
     """
-    rows_per_band = N_HASHES // N_BANDS
+    rows_per_band = cfg.rows_per_band
     bands = []
-    for b in range(N_BANDS):
+    for b in range(cfg.n_bands):
         cols = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
         bands.append(
             F.struct(
@@ -119,27 +148,30 @@ def candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def estimate_filter(pairs: DataFrame, sig: DataFrame, est_min: float = EST_MIN) -> DataFrame:
+def estimate_filter(
+    pairs: DataFrame, sig: DataFrame, cfg: MinHashConfig = CI_BANDING
+) -> DataFrame:
     """Prune candidates by minhash agreement ≥ est_min before exact verify.
 
     Two broadcast joins against the tiny signature table + N component
     comparisons per pair — orders of magnitude cheaper than the
     shingle-intersection join it gates.
     """
+    n = cfg.n_hashes
     sa = sig.select(
-        F.col("id").alias("id_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(N_HASHES)]
+        F.col("id").alias("id_a"), *[F.col(f"m{j}").alias(f"a{j}") for j in range(n)]
     )
     sb = sig.select(
-        F.col("id").alias("id_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(N_HASHES)]
+        F.col("id").alias("id_b"), *[F.col(f"m{j}").alias(f"b{j}") for j in range(n)]
     )
     agree = sum(
         F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
-        for j in range(N_HASHES)
+        for j in range(n)
     )
     return (
         pairs.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
-        .filter(agree >= int(est_min * N_HASHES))
+        .filter(agree >= int(cfg.est_min * n))
         .select("id_a", "id_b")
     )
 
@@ -175,23 +207,38 @@ def jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
 
 
 def minhash_lsh_dedup(
-    docs: DataFrame, threshold: float = 0.5, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg: MinHashConfig = CI_BANDING,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash+LSH with exact-Jaccard verify.
 
+    cfg picks the banding: CI_BANDING (8/2, oracle-mirrored) by default,
+    PRODUCTION_BANDING (128/32) for real corpora — same plan, wider
+    signatures.
+
     The shingle table feeds four downstream consumers (signatures, sizes,
     and both sides of the intersection join); persist it so the
-    explode+distinct shuffle runs once. At cluster scale the equivalent is
-    checkpointing the shingle table to storage (it is the reusable
-    intermediate of the whole dedup pass).
+    explode+distinct shuffle runs once. The result is checkpointed to
+    STORAGE (reliable checkpoint, not localCheckpoint) before the
+    unpersist: the materialized output lives in the checkpoint dir, not
+    pinned in executor memory, and survives executor loss — the behavior
+    you want when the shingle intermediate is TBs.
     """
     sh = shingles(docs, text_col, id_col).persist()
     try:
-        sig = minhash_signatures(sh)
-        pairs = estimate_filter(candidate_pairs(lsh_bands(sig)), sig)
+        sig = minhash_signatures(sh, cfg)
+        pairs = estimate_filter(candidate_pairs(lsh_bands(sig, cfg)), sig, cfg)
         out = jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+        sc = docs.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            # point at durable shared storage on a real cluster; a scratch
+            # dir is the single-node stand-in
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-ckpt-"))
         # materialize before unpersist so the cached plan is what executes
-        out = out.localCheckpoint(eager=True)
+        out = out.checkpoint(eager=True)
     finally:
         sh.unpersist()
     return out

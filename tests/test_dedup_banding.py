@@ -1,0 +1,80 @@
+"""MinHash banding configurations: the production 128-hash/32-band
+setting must run the same plan shape and achieve full recall against
+brute-force ground truth on high-similarity near-dups (candidate
+probability 1-(1-J^4)^32 ≈ 1 for J ≥ 0.7), with exact precision from the
+Jaccard verify stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from apm_opentelemetry_collector_spark.operators.dedup import (
+    CI_BANDING,
+    PRODUCTION_BANDING,
+    MinHashConfig,
+    jaccard,
+    minhash_lsh_dedup,
+    shingles,
+)
+
+THRESHOLD = 0.5
+
+
+def _corpus(spark):
+    rows = []
+    for i in range(8):
+        toks = [f"tok{i}x{j}" for j in range(40)]
+        rows.append((f"d{i:02d}a", " ".join(toks)))
+        # near-dup: one token replaced (char-shingle jaccard ≈ 0.9)
+        dup = list(toks)
+        dup[7] = "REPLACED"
+        rows.append((f"d{i:02d}b", " ".join(dup)))
+    # unrelated documents
+    for i in range(8):
+        rows.append((f"u{i:02d}", " ".join(f"zq{i}w{j}" for j in range(40))))
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _ground_truth(spark, docs):
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = (
+        ids.crossJoin(docs.select(F.col("doc_id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    sh = shingles(docs)
+    return {
+        (r["id_a"], r["id_b"])
+        for r in jaccard(pairs, sh).filter(F.col("jaccard") >= THRESHOLD).collect()
+    }
+
+
+def test_production_banding_full_recall(spark):
+    docs = _corpus(spark)
+    want = _ground_truth(spark, docs)
+    assert len(want) == 8  # each base with exactly its near-dup
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(
+            docs, THRESHOLD, cfg=PRODUCTION_BANDING
+        ).collect()
+    }
+    # verify stage guarantees precision; 32 bands guarantee recall at J≈0.9
+    assert got == want
+
+
+def test_ci_banding_subset_of_truth(spark):
+    docs = _corpus(spark)
+    want = _ground_truth(spark, docs)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(docs, THRESHOLD, cfg=CI_BANDING).collect()
+    }
+    assert got <= want and got  # exact-verified: never a false positive
+
+
+def test_banding_config_validates():
+    with pytest.raises(ValueError):
+        MinHashConfig(n_hashes=10, n_bands=4)
+    assert PRODUCTION_BANDING.rows_per_band == 4
