@@ -94,12 +94,28 @@ def main() -> None:
         "knn_bruteforce",
         "ivf_knn",
     ]
+    # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
+    # slowdown (documented 3-5× contention spikes) hits all queries alike
+    # instead of poisoning one number. A fresh DataFrame per rep — timing
+    # the same object twice reuses shuffle outputs (skipped stages).
+    # Expensive queries stop repeating once past QUERY_BUDGET_S so the
+    # whole bench stays under ~5 minutes.
+    REPS = 3
+    QUERY_BUDGET_S = 45.0
     qmap = entry.queries()
+    times: dict[str, list[float]] = {name: [] for name in headline}
+    for _rep in range(REPS):
+        for name in headline:
+            if times[name] and sum(times[name]) + times[name][-1] > QUERY_BUDGET_S:
+                continue
+            t = time.time()
+            # count() forces the full plan without driver-side row transfer
+            qmap[name](spark, SF_DIR).count()
+            times[name].append(time.time() - t)
     for name in headline:
-        t = time.time()
-        # count() forces the full plan without driver-side row transfer
-        qmap[name](spark, SF_DIR).count()
-        queries[name] = round(time.time() - t, 3)
+        queries[name] = round(min(times[name]), 3)
+    reps = {name: len(times[name]) for name in headline}
+    reps["pipeline_e2e_synth"] = len(runs)
 
     total = round(time.time() - t0, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -112,6 +128,7 @@ def main() -> None:
         "bench_rows": BENCH_ROWS,
         "turns_per_sec": round(BENCH_ROWS / e2e, 1),
         "cores": CPUS,
+        "reps": reps,
     }
     print(json.dumps(out))
 
