@@ -68,15 +68,20 @@ def _fill_group(
     last_role, last_tool = state.get if state.exists else (None, None)
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
-        roles, tools = [], []
-        for role, tool in zip(pdf["role"], pdf["tool"]):
-            if pd.notna(role) and role is not None:
-                last_role = role
-            if pd.notna(tool) and tool is not None:
-                last_tool = tool
-            roles.append(last_role)
-            tools.append(last_tool)
-        pdf = pdf.assign(role=roles, tool=tools)
+        fills = {}
+        for col, last in (("role", last_role), ("tool", last_tool)):
+            # vectorized last-non-null: pandas ffill within the chunk,
+            # seeded by the cross-batch state for leading nulls
+            s = pdf[col].ffill()
+            if last is not None:
+                s = s.fillna(last)
+            fills[col] = s
+        if len(pdf):
+            if pd.notna(fills["role"].iloc[-1]):
+                last_role = fills["role"].iloc[-1]
+            if pd.notna(fills["tool"].iloc[-1]):
+                last_tool = fills["tool"].iloc[-1]
+        pdf = pdf.assign(**fills)
         yield pdf[[f.name for f in FILLED_SCHEMA.fields]]
     state.update((last_role, last_tool))
 
