@@ -544,6 +544,18 @@ def q_ivf_knn(spark, sf_dir):
     return out.withColumn("cos", F.round("cos", 6))
 
 
+def q_lsh_knn(spark, sf_dir):
+    """ANN scale path #2: hyperplane-LSH buckets (multi-probe Hamming-1)
+    + exact cosine verify — the LSH-bucketed alternative to IVF."""
+    from apm_opentelemetry_collector_spark.operators.similarity import (
+        hyperplane_lsh_knn,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = hyperplane_lsh_knn(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.withColumn("cos", F.round("cos", 6))
+
+
 # ------------------------------------------------------------------ driver
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: per-sink outcome aggregate of the full pipeline at sf0.001."""
@@ -603,6 +615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_same_source": q_ngram_jaccard_same_source,
         "embedding_neardup": q_embedding_neardup,
         "ivf_knn": q_ivf_knn,
+        "lsh_knn": q_lsh_knn,
         # non-SQL-expressible paths (rows-only checks; byte format and
         # batch shape are covered by pytest oracles instead)
         "record_encode_stats": q_record_encode_stats,
@@ -784,6 +797,56 @@ WITH q AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= 10
+"""
+
+
+def _lsh_knn_sql(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """Oracle twin of hyperplane_lsh_knn: the SAME Python-derived ±1
+    hyperplane literals, bucket = sum of sign bits, multi-probe = bucket
+    plus its n_planes Hamming-1 flips."""
+    from apm_opentelemetry_collector_spark.operators.similarity import (
+        hyperplane_signs,
+    )
+
+    planes = hyperplane_signs(n_planes, dim)
+
+    def bucket_expr(v: str) -> str:
+        terms = []
+        for p, w in enumerate(planes):
+            lit = "[" + ", ".join("1.0" if x > 0 else "-1.0" for x in w) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({v}, {lit}) > 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    cos = _COS_SQL.format(a="p.qv", b="cb.cv")
+    probes = " UNION ALL ".join(
+        ["SELECT query_id, qv, bucket AS probe FROM qb"]
+        + [
+            f"SELECT query_id, qv, xor(bucket, {1 << p}) FROM qb"
+            for p in range(n_planes)
+        ]
+    )
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+         {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings
+), qb AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+         {bucket_expr("CAST(embedding AS DOUBLE[])")} AS bucket
+  FROM embeddings WHERE vec_id < 5
+), probes AS ({probes}
+), scored AS (
+  SELECT p.query_id, cb.neighbor_id, {cos} AS cos
+  FROM probes p JOIN cb ON cb.bucket = p.probe
+  WHERE p.query_id <> cb.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
 """
 
 
@@ -1097,4 +1160,5 @@ SELECT doc_id, {g.lang_id_sql('text')} AS lang_pred FROM documents""",
         "ngram_jaccard_same_source": _ngram_jaccard_sql(0.2),
         "embedding_neardup": _embedding_neardup_sql(0.3),
         "ivf_knn": _ivf_sql(),
+        "lsh_knn": _lsh_knn_sql(),
     }

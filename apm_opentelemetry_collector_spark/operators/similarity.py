@@ -21,10 +21,13 @@ corpus can be pre-partitioned/bucketed by.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, dot
 
 CENTROID_DECIMAL = "decimal(28,12)"
 
@@ -94,6 +97,87 @@ def ivf_knn(
     )
     return (
         probed.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+# --- hyperplane (random-projection) LSH ANN ---------------------------------
+#
+# The LSH-bucketed scale path alongside IVF: P signed random projections
+# hash every vector to a P-bit bucket; a query scans only its own bucket
+# (plus the P Hamming-1 neighbors under multi-probe), then exact cosine
+# ranks the pruned candidates. Hyperplanes are deterministic ±1
+# (Rademacher) vectors derived from md5 IN PYTHON at plan-build time —
+# they enter both the Spark plan and the SQL oracle as the same literal
+# arrays, and on a cluster they are broadcast constants.
+
+
+@lru_cache(maxsize=None)
+def hyperplane_signs(n_planes: int = 8, dim: int = 64) -> tuple[tuple[float, ...], ...]:
+    """Deterministic ±1 hyperplane matrix: sign(p, d) from md5('p:d')."""
+    return tuple(
+        tuple(
+            1.0 if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+            for d in range(dim)
+        )
+        for p in range(n_planes)
+    )
+
+
+def lsh_bucket(vec: Column, planes: tuple[tuple[float, ...], ...]) -> Column:
+    """P-bit bucket id: bit p set iff the projection on plane p is > 0."""
+    b: Column = F.lit(0)
+    for p, w in enumerate(planes):
+        proj = dot(vec, F.array(*[F.lit(x) for x in w]))
+        b = b + F.when(proj > 0, F.lit(2**p)).otherwise(F.lit(0))
+    return b.cast("int")
+
+
+def hyperplane_lsh_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    multi_probe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via hyperplane LSH buckets + exact cosine verify.
+
+    Plan: bucket assignment is a map-side projection on both sides; the
+    candidate join is an equi-join on bucket (avg selectivity 1/2^P per
+    probe, ~(P+1)/2^P of the corpus under multi-probe) — never an
+    all-pairs scan. At 100 TB the corpus can be written bucketed/
+    pre-partitioned by this key so probes are pruned scans.
+
+    Output: query_id, neighbor_id, rank, cos.
+    """
+    planes = hyperplane_signs(n_planes, dim)
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    ).withColumn("qbucket", lsh_bucket(F.col("qvec"), planes))
+    probes = [F.col("qbucket")]
+    if multi_probe:
+        probes += [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
+        ]
+    probed = q.select(
+        "query_id", "qvec", F.explode(F.array(*probes)).alias("bucket")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        probed.join(corpus, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
         .withColumn("rank", F.row_number().over(w))
