@@ -380,6 +380,34 @@ def q_q1_pricing_summary(spark, sf_dir):
     )
 
 
+def q_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 adapted to the testdata schema: the canonical join-heavy
+    OLAP plan — broadcast the filtered customer dim (small side), shuffle
+    equi-join orders⨝lineitem on orderkey, decimal-exact revenue, top-10
+    with a deterministic tiebreak."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    cut = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    cust = _load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return out.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
+
+
 def q_top_customers(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders")
     cust = _load(spark, sf_dir, "customer")
@@ -598,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_users_by_value": q_topk_users_by_value,
         # generic engine sanity (Catalyst agg/join/topk/percentiles)
         "q1_pricing_summary": q_q1_pricing_summary,
+        "q3_shipping_priority": q_q3_shipping_priority,
         "top_customers": q_top_customers,
         "distinct_users_per_type": q_distinct_users_per_type,
         "value_percentiles": q_value_percentiles,
@@ -1105,6 +1134,20 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus""",
+        "q3_shipping_priority": """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10""",
         "top_customers": """
 SELECT c_custkey, c_name,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
