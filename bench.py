@@ -89,10 +89,12 @@ def main() -> None:
         "conservation",
         "metrics_translate",
         "q1_pricing_summary",
+        "q3_shipping_priority",
         "dedup_exact",
         "minhash_lsh_neardup",
         "knn_bruteforce",
         "ivf_knn",
+        "lsh_knn",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
