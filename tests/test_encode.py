@@ -89,3 +89,35 @@ def test_compress_factor_integer_division(spark):
     # and compressible records exceed 1
     assert stats and all(r["compress_factor"] >= 0 for r in stats)
     assert any(r["compress_factor"] >= 1 for r in stats)
+
+
+def test_proto_framing_decode_exactly_once(spark):
+    """framing='proto': the reference's record shape — magic ++
+    gzip(protobuf wire-format TurnList) — decodes every span exactly
+    once and agrees with the lines framing's decoded set."""
+    packed, _ = _routed(spark)
+    sent = {
+        (r["sink"], r["conv_id"], r["turn_idx"], r["text"])
+        for r in packed.select("sink", "conv_id", "turn_idx", "text").collect()
+    }
+    records = encode_records(packed, framing="proto").collect()
+    decoded = []
+    for rec in records:
+        turns = decode_record(bytes(rec["data"]), framing="proto")
+        assert rec["span_count"] == len(turns)
+        assert rec["compressed_bytes"] == len(bytes(rec["data"]))
+        for conv_id, turn_idx, text in turns:
+            decoded.append((rec["sink"], conv_id, turn_idx, text))
+    assert len(decoded) == len(sent)
+    assert set(decoded) == sent
+
+
+def test_proto_varint_roundtrip():
+    from apm_opentelemetry_collector_spark.operators.encode import (
+        _read_varint,
+        _varint,
+    )
+
+    for n in (0, 1, 127, 128, 300, 2**21 - 3, 2**35 + 7, 2**63 - 1):
+        got, i = _read_varint(_varint(n), 0)
+        assert got == n and i == len(_varint(n))
