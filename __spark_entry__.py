@@ -488,6 +488,17 @@ def q_token_count(spark, sf_dir):
     return docs.select("doc_id", textfn.token_count("text").alias("n_tokens"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Whitespace + BPE-ish pretokenizer counts side by side — the two
+    token estimators a curation pass runs before real tokenization."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textfn.token_count("text").alias("n_tokens_ws"),
+        textfn.bpe_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
 def q_quality_score(spark, sf_dir):
     docs = _load(spark, sf_dir, "documents")
     return docs.select("doc_id", textfn.quality_struct("text").alias("q")).select(
@@ -636,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1184,6 +1196,11 @@ FROM documents GROUP BY 1""",
 SELECT doc_id, {g.FINGERPRINT_SQL.format(col='text')} AS fingerprint FROM documents""",
         "token_count": f"""
 SELECT doc_id, CAST({g.TOKEN_COUNT_SQL.format(col='text')} AS BIGINT) AS n_tokens
+FROM documents""",
+        "token_count_bpe": f"""
+SELECT doc_id,
+  CAST({g.TOKEN_COUNT_SQL.format(col='text')} AS BIGINT) AS n_tokens_ws,
+  CAST({g.bpe_token_count_sql('text')} AS BIGINT) AS n_tokens_bpe
 FROM documents""",
         "quality_score": f"""
 SELECT doc_id,

@@ -41,9 +41,24 @@ def fingerprint(text: Column | str) -> Column:
 
 
 def token_count(text: Column | str) -> Column:
-    """Whitespace token count (BPE-ish regex split)."""
+    """Whitespace token count."""
     t = F.trim(_c(text))
     return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, WS_RE))).cast("bigint")
+
+
+# GPT-2-style pretokenizer, dialect-portable subset (Java regex ∩ RE2):
+# contractions, space-absorbing letter runs, digit runs, symbol runs.
+# Pure-whitespace runs are not counted — they are absorbed by the ` ?`
+# prefixes or skipped by the scan. Single source of truth for the Spark
+# expression AND the DuckDB oracle (bpe_token_count_sql).
+BPE_TOKEN_RE = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish token count: number of pretokenizer matches (the unit a
+    subword tokenizer would split further) — the cheap, deterministic
+    proxy a 100 TB curation pass uses before real tokenization."""
+    return F.regexp_count(_c(text), F.lit(BPE_TOKEN_RE)).cast("bigint")
 
 
 def punct_count(text: Column | str) -> Column:
@@ -108,6 +123,11 @@ TOKEN_COUNT_SQL = (
     "ELSE len(regexp_split_to_array(trim({col}), '\\s+')) END"
 )
 PUNCT_COUNT_SQL = "length({col}) - length(regexp_replace({col}, '[.,!?;:]', '', 'g'))"
+
+
+def bpe_token_count_sql(col: str) -> str:
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
 SPACE_COUNT_SQL = "length({col}) - length(regexp_replace({col}, '\\s', '', 'g'))"
 
 
