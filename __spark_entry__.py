@@ -408,6 +408,45 @@ def q_q3_shipping_priority(spark, sf_dir):
     return out.orderBy(F.col("revenue").desc(), F.col("l_orderkey")).limit(10)
 
 
+def q_q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 adapted: 6-table star join (region→nation filter chain
+    broadcast, supplier/customer dims broadcast, orders⨝lineitem the only
+    fact shuffle) with the local-supplier constraint c_nationkey =
+    s_nationkey. Catalyst orders the joins; every dim side fits under the
+    broadcast threshold at any realistic dim size."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    lo = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
 def q_top_customers(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders")
     cust = _load(spark, sf_dir, "customer")
@@ -638,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic engine sanity (Catalyst agg/join/topk/percentiles)
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
+        "q5_local_supplier_volume": q_q5_local_supplier_volume,
         "top_customers": q_top_customers,
         "distinct_users_per_type": q_distinct_users_per_type,
         "value_percentiles": q_value_percentiles,
@@ -1160,6 +1200,21 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate, o_orderpriority
 ORDER BY revenue DESC, l_orderkey
 LIMIT 10""",
+        "q5_local_supplier_volume": """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name""",
         "top_customers": """
 SELECT c_custkey, c_name,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,

@@ -42,7 +42,12 @@ import tempfile
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REPS = 3
 N_SMALL, N_BIG = 1, 4
-SHUFFLE_PARTITIONS = 64
+
+
+def shuffle_partitions_for(rows: int) -> int:
+    """Size partitions to the DATA (~500k turns ≈ 120 MB each), identical
+    at both parallelism levels; 64 at the default 32M rows."""
+    return max(64, rows // 500_000)
 
 CHILD = r"""
 import json, os, sys, time
@@ -72,7 +77,8 @@ print(json.dumps({{"cores": cores, "sec": time.time() - t0}}))
 
 def run_once(cores: int, rows: int, inp: str) -> float:
     code = CHILD.format(
-        root=ROOT, cores=cores, rows=rows, inp=inp, shuffle=SHUFFLE_PARTITIONS
+        root=ROOT, cores=cores, rows=rows, inp=inp,
+        shuffle=shuffle_partitions_for(rows)
     )
     res = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
