@@ -276,6 +276,35 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_asof_last_event(spark, sf_dir):
+    """Distributed as-of join: each turn picks up the latest event of its
+    user at or before the turn timestamp (union + window forward-fill —
+    one shuffle, no range scan). Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from apm_opentelemetry_collector_spark.operators.asof import asof_join
+
+    turns = derive_transcripts(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        F.expr("cast(substring(conv_id, 6) as bigint)").alias("user_id"),
+    )
+    ev = (
+        _load(spark, sf_dir, "events")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("last_event_type"))
+        .select(
+            "user_id",
+            "ts",
+            F.col("ts").alias("last_event_ts"),
+            "last_event_type",
+        )
+    )
+    out = asof_join(
+        turns, ev, ["user_id"], "ts", ["last_event_ts", "last_event_type"]
+    )
+    return out.select("conv_id", "turn_idx", "last_event_type", "last_event_ts")
+
+
 def q_events_sessionize_window(spark, sf_dir):
     """T5 in its idiomatic home: F.session_window sessionization (same
     plan runs on a stream; tests/test_streaming.py proves watermark
@@ -671,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enqueued_stats": q_enqueued_stats,
         "backpressure_matrix": q_backpressure_matrix,
         # time/window ops
+        "asof_last_event": q_asof_last_event,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_window": q_events_sessionize_window,
         "topk_users_by_value": q_topk_users_by_value,
@@ -1125,6 +1155,19 @@ FROM outcomes GROUP BY sink""",
 SELECT 'on' AS backpressure, 'refused' AS outcome, count(*) AS n FROM rej
 UNION ALL
 SELECT 'off', 'dropped', count(*) FROM rej""",
+        "asof_last_event": sqlgen.chain_to_transcripts()
+        + """
+, turns AS (
+  SELECT conv_id, turn_idx, ts,
+         CAST(substr(conv_id, 6) AS BIGINT) AS user_id
+  FROM transcripts
+), ev AS (
+  SELECT user_id, ts, max_by(event_type, event_id) AS last_event_type
+  FROM events GROUP BY user_id, ts
+)
+SELECT t.conv_id, t.turn_idx, e.last_event_type, e.ts AS last_event_ts
+FROM turns t ASOF LEFT JOIN ev e
+  ON t.user_id = e.user_id AND t.ts >= e.ts""",
         "events_sessionize": """
 WITH gaps AS (
   SELECT user_id, event_id, ts,
