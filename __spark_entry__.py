@@ -276,6 +276,28 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_metrics_resample(spark, sf_dir):
+    """Gap-fill resample of the linux memorymonitor series onto a 15 s
+    grid (forward fill per (name, host)); oracle = DuckDB generate_series
+    grid + native ASOF LEFT JOIN."""
+    from apm_opentelemetry_collector_spark.operators.resample import (
+        resample_ffill,
+    )
+
+    series = to_signalfx(memorymonitor_scrape(spark, os_name="linux")).select(
+        "name", "host", "ts", F.col("value").alias("last_value")
+    )
+    return resample_ffill(
+        series,
+        ["name", "host"],
+        "ts",
+        ["last_value"],
+        "2024-01-01 00:00:00",
+        "2024-01-01 00:01:30",
+        15,
+    )
+
+
 def q_asof_last_event(spark, sf_dir):
     """Distributed as-of join: each turn picks up the latest event of its
     user at or before the turn timestamp (union + window forward-fill —
@@ -701,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "backpressure_matrix": q_backpressure_matrix,
         # time/window ops
         "asof_last_event": q_asof_last_event,
+        "metrics_resample": q_metrics_resample,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_window": q_events_sessionize_window,
         "topk_users_by_value": q_topk_users_by_value,
@@ -1110,6 +1133,20 @@ SELECT conv_id, count(*) AS n_turns, count(DISTINCT role) AS n_roles,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM transcripts GROUP BY conv_id""",
         "metrics_translate": signalfx_oracle_sql(),
+        "metrics_resample": f"""
+WITH sfx AS (
+  SELECT name, host, ts, value AS last_value
+  FROM ({signalfx_oracle_sql(oses=("linux",))})
+), grid AS (
+  SELECT k.name, k.host, g.gts AS ts
+  FROM (SELECT DISTINCT name, host FROM sfx) k,
+       generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                       TIMESTAMP '2024-01-01 00:01:30',
+                       INTERVAL 15 SECOND) g(gts)
+)
+SELECT g.name, g.host, g.ts, s.last_value
+FROM grid g ASOF LEFT JOIN sfx s
+  ON g.name = s.name AND g.host = s.host AND g.ts >= s.ts""",
         "doc_truncation": f"""
 WITH m AS (
   SELECT doc_id, text,
