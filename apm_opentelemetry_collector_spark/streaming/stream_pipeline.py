@@ -109,6 +109,27 @@ def windowed_sink_counts(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Exactly-once turn delivery under at-least-once ingest: drop
+    duplicate (conv_id, turn_idx) rows across micro-batches, keeping
+    state only within the watermark horizon (bounded state — the
+    streaming twin of the batch engine's exact dedup).
+
+    The reference tolerates duplicate sends (at-least-once with retries,
+    exporter.go:194-235); a consumer that needs exactly-once semantics
+    dedups at ingest, which is this operator.
+    """
+    keys = keys or ["conv_id", "turn_idx"]
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def sessionize_session_window(
     events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
 ) -> DataFrame:

@@ -211,3 +211,29 @@ def test_rate_scrape_stream_matches_batch_generator(spark):
         assert want[(r["name"], r["host"], r["ts"])] == (
             r["sf_type"], r["value"], r["unit"],
         ), r
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Duplicate (conv_id, turn_idx) rows arriving in later micro-batches
+    within the watermark are dropped — exactly-once turn delivery under
+    at-least-once ingest."""
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        dedup_stream,
+        run_to_memory,
+        stream_transcripts,
+    )
+
+    path = str(tmp_path / "dedup_in")
+    rows = [("c1", 0, "user", "a", "search"), ("c1", 1, "assistant", "b", None)]
+    _write_batch(spark, path, rows)
+    # batch 2 re-delivers turn 1 (retry duplicate) plus a new turn
+    _write_batch(spark, path, [("c1", 1, "assistant", "b", None),
+                               ("c1", 2, "user", "c", None)])
+
+    out = dedup_stream(stream_transcripts(spark, path))
+    run_to_memory(out.select("conv_id", "turn_idx", "text"), "dedup_out")
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in spark.sql("SELECT * FROM dedup_out").collect()
+    )
+    assert got == [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c")]
