@@ -498,6 +498,32 @@ def q_q5_local_supplier_volume(spark, sf_dir):
     )
 
 
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 adapted: promo vs total revenue per ship month —
+    broadcast part dim onto the lineitem fact, conditional decimal
+    aggregation, month rollup via date_trunc."""
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    disc = dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(18,2)") - dec("l_discount")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.sum(
+                F.when(F.col("p_type") == "PROMO", disc).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(disc).cast("double").alias("total_revenue"),
+        )
+    )
+
+
 def q_top_customers(spark, sf_dir):
     orders = _load(spark, sf_dir, "orders")
     cust = _load(spark, sf_dir, "customer")
@@ -731,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing_summary,
         "q3_shipping_priority": q_q3_shipping_priority,
         "q5_local_supplier_volume": q_q5_local_supplier_volume,
+        "q14_promo_revenue": q_q14_promo_revenue,
         "top_customers": q_top_customers,
         "distinct_users_per_type": q_distinct_users_per_type,
         "value_percentiles": q_value_percentiles,
@@ -1295,6 +1322,17 @@ WHERE r_name = 'ASIA'
   AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
   AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
 GROUP BY n_name""",
+        "q14_promo_revenue": """
+SELECT date_trunc('month', l_shipdate) AS ship_month,
+       CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS promo_revenue,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+            AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY date_trunc('month', l_shipdate)""",
         "top_customers": """
 SELECT c_custkey, c_name,
   CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
