@@ -60,3 +60,58 @@ def test_exactly_once_across_restart(spark, tmp_path):
         ).collect()
     }
     assert set(rows) == want
+
+
+def test_dedup_state_survives_checkpoint_restart(spark, tmp_path):
+    """A restarted query (same checkpoint) must still drop duplicates
+    first seen BEFORE the restart — dedup state lives in the checkpoint,
+    not the process."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from apm_opentelemetry_collector_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        dedup_stream,
+        stream_transcripts,
+    )
+
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ts = dt.datetime(2024, 1, 1)
+
+    def write(rows):
+        spark.createDataFrame(
+            [Row(conv_id=c, turn_idx=i, role="user", text=t, tool=None, ts=ts)
+             for c, i, t in rows],
+            TRANSCRIPT_SCHEMA,
+        ).coalesce(1).write.mode("append").parquet(in_path)
+
+    def run_once():
+        q = (
+            dedup_stream(stream_transcripts(spark, in_path))
+            .select("conv_id", "turn_idx", "text")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write([("c1", 0, "a"), ("c1", 1, "b")])
+    run_once()
+    # after restart: turn 0 re-delivered (must be dropped via restored
+    # state) plus a genuinely new turn
+    write([("c1", 0, "a"), ("c1", 2, "c")])
+    run_once()
+
+    got = sorted(
+        (r["conv_id"], r["turn_idx"], r["text"])
+        for r in spark.read.parquet(out_path).collect()
+    )
+    assert got == [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c")]
