@@ -30,6 +30,7 @@ DuckDB oracle, so the two cannot drift.
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -175,6 +176,43 @@ def memorymonitor_stream(
         .select(F.col("value").alias("id"))
     )
     return scrape_from_ids(rate, os_name, n_hosts)
+
+
+def detect_resource() -> tuple[str | None, dict[str, str]]:
+    """S8 resource auto-detect (receiver.go:86-102): the reference calls
+    OpenCensus auto.Detect, whose environment detector reads
+    OC_RESOURCE_TYPE and OC_RESOURCE_LABELS (comma-separated k=v pairs,
+    values optionally quoted) — that public contract, re-expressed."""
+    rtype = os.environ.get("OC_RESOURCE_TYPE", "").strip() or None
+    labels: dict[str, str] = {}
+    for kv in os.environ.get("OC_RESOURCE_LABELS", "").split(","):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            labels[k.strip()] = v.strip().strip('"')
+    return rtype, labels
+
+
+def with_resource(
+    metrics: DataFrame,
+    rtype: str | None = None,
+    labels: dict[str, str] | None = None,
+) -> DataFrame:
+    """Attach the detected Resource{Type, Labels} to every metric row —
+    the monitor stamps each emitted Metric with the receiver's resource
+    (monitor.go:203-214). Detection result enters the plan as literal
+    columns (driver-side constants; broadcast-free)."""
+    if rtype is None and labels is None:
+        rtype, labels = detect_resource()
+    labels = labels or {}
+    if labels:
+        lab = F.create_map(
+            *[x for k, v in sorted(labels.items()) for x in (F.lit(k), F.lit(v))]
+        )
+    else:
+        lab = F.lit(None).cast("map<string,string>")
+    return metrics.withColumn(
+        "resource_type", F.lit(rtype).cast("string")
+    ).withColumn("resource_labels", lab)
 
 
 def to_signalfx(metrics: DataFrame) -> DataFrame:

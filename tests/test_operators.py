@@ -209,3 +209,29 @@ def test_memorymonitor_os_conditional_descriptor_sets(spark):
     assert (out["value"] >= 0).all()  # cached/slab subtractions never negative
     util = out[out["name"] == "memory.utilization"]["value"]
     assert ((util >= 0) & (util < 100)).all()
+
+
+def test_resource_auto_detect_env_contract(spark, monkeypatch):
+    """S8: OC_RESOURCE_TYPE / OC_RESOURCE_LABELS env detection attached
+    to every scraped metric (receiver.go:86-102 via OpenCensus FromEnv)."""
+    from apm_opentelemetry_collector_spark.operators.translate import (
+        detect_resource,
+        memorymonitor_scrape,
+        with_resource,
+    )
+
+    monkeypatch.setenv("OC_RESOURCE_TYPE", "host")
+    monkeypatch.setenv("OC_RESOURCE_LABELS", 'zone=us-east-1, name="node-7"')
+    rtype, labels = detect_resource()
+    assert rtype == "host" and labels == {"zone": "us-east-1", "name": "node-7"}
+
+    out = with_resource(memorymonitor_scrape(spark), rtype, labels).toPandas()
+    assert (out["resource_type"] == "host").all()
+    assert all(dict(m) == labels for m in out["resource_labels"])
+
+    monkeypatch.delenv("OC_RESOURCE_TYPE")
+    monkeypatch.delenv("OC_RESOURCE_LABELS")
+    rtype2, labels2 = detect_resource()
+    assert rtype2 is None and labels2 == {}
+    bare = with_resource(memorymonitor_scrape(spark), rtype2, labels2).toPandas()
+    assert bare["resource_type"].isna().all()
