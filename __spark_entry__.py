@@ -1160,6 +1160,23 @@ SELECT conv_id, count(*) AS n_turns, count(DISTINCT role) AS n_roles,
        min(ts) AS min_ts, max(ts) AS max_ts
 FROM transcripts GROUP BY conv_id""",
         "metrics_translate": signalfx_oracle_sql(),
+        # the fake payload is a pure function of doc_id (header + 4×md5
+        # bytes), so even the mapInPandas decode path has an exact twin:
+        # pixel_checksum = 4 * (sum of md5 digest bytes) % 65536
+        "multimodal_features": """
+WITH m AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), b AS (
+  SELECT doc_id,
+         (instr('0123456789abcdef', substr(hx, 2*j+1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substr(hx, 2*j+2, 1)) - 1) AS byte
+  FROM (SELECT doc_id, hx, unnest(range(0, 16)) AS j FROM m)
+)
+SELECT doc_id,
+       CAST(doc_id % 64 + 8 AS INTEGER) AS width,
+       CAST(doc_id % 48 + 8 AS INTEGER) AS height,
+       CAST((4 * sum(byte)) % 65536 AS INTEGER) AS pixel_checksum
+FROM b GROUP BY doc_id""",
         "metrics_resample": f"""
 WITH sfx AS (
   SELECT name, host, ts, value AS last_value
