@@ -235,3 +235,44 @@ def test_resource_auto_detect_env_contract(spark, monkeypatch):
     assert rtype2 is None and labels2 == {}
     bare = with_resource(memorymonitor_scrape(spark), rtype2, labels2).toPandas()
     assert bare["resource_type"].isna().all()
+
+
+# --- as-of join randomized equivalence (one Spark job, many timelines) -------
+def test_asof_join_matches_python_reference(spark):
+    import datetime as dt
+    import random
+
+    from apm_opentelemetry_collector_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    t0 = dt.datetime(2024, 1, 1)
+    lrows, rrows = [], []
+    for k in range(25):
+        for ts in sorted(rng.sample(range(0, 10_000), rng.randint(1, 40))):
+            lrows.append((k, t0 + dt.timedelta(seconds=ts), f"L{k}:{ts}"))
+        for ts in sorted(rng.sample(range(0, 10_000), rng.randint(0, 25))):
+            rrows.append((k, t0 + dt.timedelta(seconds=ts), f"V{k}:{ts}"))
+
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, payload string")
+    right = spark.createDataFrame(rrows, "k int, ts timestamp, v string")
+    got = {
+        (r["k"], r["ts"], r["payload"]): r["v"]
+        for r in asof_join(left, right, ["k"], "ts", ["v"]).collect()
+    }
+
+    by_key: dict[int, list] = {}
+    for k, ts, v in rrows:
+        by_key.setdefault(k, []).append((ts, v))
+    for k in by_key:
+        by_key[k].sort()
+    want = {}
+    for k, ts, payload in lrows:
+        match = None
+        for rts, v in by_key.get(k, []):
+            if rts <= ts:  # inclusive — latest right at or before left ts
+                match = v
+            else:
+                break
+        want[(k, ts, payload)] = match
+    assert len(got) == len(lrows)
+    assert got == want
