@@ -228,10 +228,15 @@ def minhash_lsh_dedup(
     you want when the shingle intermediate is TBs.
     """
     sh = shingles(docs, text_col, id_col).persist()
-    out = None
+    out = pairs = None
     try:
         sig = minhash_signatures(sh, cfg)
-        pairs = estimate_filter(candidate_pairs(lsh_bands(sig, cfg)), sig, cfg)
+        # pairs feeds jaccard() twice (intersection join + final left
+        # join); persist the tiny candidate table so band generation +
+        # prefilter run once, not per consumer
+        pairs = estimate_filter(
+            candidate_pairs(lsh_bands(sig, cfg)), sig, cfg
+        ).persist()
         out = jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
         sc = docs.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
@@ -247,6 +252,8 @@ def minhash_lsh_dedup(
     finally:
         if out is not None:
             out.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
         sh.unpersist()
     return ckpt
 
