@@ -90,11 +90,14 @@ def main() -> None:
         "metrics_translate",
         "q1_pricing_summary",
         "q3_shipping_priority",
+        "q5_local_supplier_volume",
         "dedup_exact",
         "minhash_lsh_neardup",
         "knn_bruteforce",
         "ivf_knn",
         "lsh_knn",
+        "asof_last_event",
+        "metrics_resample",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
