@@ -39,6 +39,7 @@ from apm_opentelemetry_collector_spark.operators.enrich import enrich
 from apm_opentelemetry_collector_spark.operators.forward_fill import forward_fill
 from apm_opentelemetry_collector_spark.operators.pack import assign_batches
 from apm_opentelemetry_collector_spark.operators.route import fan_out, with_send_outcome
+from apm_opentelemetry_collector_spark.operators import sample as smp
 from apm_opentelemetry_collector_spark.operators.sample import (
     sample_conversations_nibble,
 )
@@ -693,6 +694,32 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synth_media(docs)).drop("batch_rows")
 
 
+MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "_default": 0.25}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Dataset-mixing sampler: per-source keep rates, deterministic per
+    doc_id (consistent md5 hashing — same family as the conversation
+    sampler). Rates in MIXTURE_RATES render into BOTH engines."""
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        stratified_sample,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(docs, MIXTURE_RATES).select("doc_id", "source")
+
+
+def q_contamination_cross_source(spark, sf_dir):
+    """Train/benchmark contamination: near-dup pairs across DIFFERENT
+    sources via banded LSH + exact-Jaccard verify (never all-pairs)."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        cross_source_contamination,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return cross_source_contamination(docs, threshold=0.5)
+
+
 def q_ivf_knn(spark, sf_dir):
     emb = _load(spark, sf_dir, "embeddings")
     out = ivf_knn(emb, emb.filter(F.col("vec_id") < 5), k=5, n_probe=2)
@@ -777,6 +804,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
+        "stratified_sample": q_stratified_sample,
+        "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
         # batch shape are covered by pytest oracles instead)
         "record_encode_stats": q_record_encode_stats,
@@ -1411,4 +1440,21 @@ SELECT doc_id, {g.lang_id_sql('text')} AS lang_pred FROM documents""",
         "embedding_neardup": _embedding_neardup_sql(0.3),
         "ivf_knn": _ivf_sql(),
         "lsh_knn": _lsh_knn_sql(),
+        "stratified_sample": f"""
+WITH p AS (
+  SELECT doc_id, source,
+         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS p16
+  FROM documents
+)
+SELECT doc_id, source FROM p
+WHERE p16 < {smp.stratified_threshold_sql(MIXTURE_RATES)}""",
+        "contamination_cross_source": f"""
+SELECT p.id_a, p.id_b, da.source AS source_a, db.source AS source_b, p.jaccard
+FROM ({_minhash_sql(0.5)}) p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+WHERE da.source <> db.source""",
     }

@@ -258,6 +258,34 @@ def minhash_lsh_dedup(
     return ckpt
 
 
+def cross_source_contamination(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    cfg: MinHashConfig = CI_BANDING,
+) -> DataFrame:
+    """Train/benchmark contamination check: near-duplicate pairs whose
+    members come from DIFFERENT sources (e.g. a training shard and an
+    eval set). Candidate generation is the same banded LSH — never an
+    all-pairs scan across corpora — with the cross-source constraint
+    applied to the verified pairs. Output: id_a, id_b, source_a,
+    source_b, jaccard."""
+    pairs = minhash_lsh_dedup(docs, threshold, text_col, id_col, cfg)
+    src = docs.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src"))
+    return (
+        pairs.join(
+            F.broadcast(src.selectExpr("_id AS id_a", "_src AS source_a")), "id_a"
+        )
+        .join(
+            F.broadcast(src.selectExpr("_id AS id_b", "_src AS source_b")), "id_b"
+        )
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("id_a", "id_b", "source_a", "source_b", "jaccard")
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 SIMHASH_BITS = 16  # 4 md5 hex nibbles; production would use 64
 

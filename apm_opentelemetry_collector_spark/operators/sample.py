@@ -30,3 +30,44 @@ def sample_conversations(df: DataFrame, rate: float) -> DataFrame:
     threshold = int(rate * 65536)
     prefix16 = F.conv(F.substring(F.md5(F.col("conv_id").cast("binary")), 1, 4), 16, 10).cast("bigint")
     return df.filter(prefix16 < threshold)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset-mixing sampler: per-stratum keep rates, deterministic per
+    id (md5 16-bit prefix < rate·65536 — same consistent-hash family as
+    the conversation sampler). rates maps stratum value → rate in [0,1];
+    the '_default' key covers unlisted strata. Rows, not an aggregate,
+    so downstream stages compose."""
+    prefix16 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 4),
+        16,
+        10,
+    ).cast("bigint")
+    default_thr = int(rates.get("_default", 1.0) * 65536)
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        if stratum == "_default":
+            continue
+        cond = F.col(stratum_col) == stratum
+        thr = int(rate * 65536)
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    threshold = expr.otherwise(default_thr) if expr is not None else F.lit(default_thr)
+    return df.filter(prefix16 < threshold)
+
+
+def stratified_threshold_sql(
+    rates: dict[str, float], stratum_col: str = "source"
+) -> str:
+    """SQL twin of stratified_sample's threshold CASE (same dict)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {int(r * 65536)}"
+        for s, r in sorted(rates.items())
+        if s != "_default"
+    )
+    default_thr = int(rates.get("_default", 1.0) * 65536)
+    return f"CASE {stratum_col} {whens} ELSE {default_thr} END"
