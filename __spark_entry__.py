@@ -694,6 +694,23 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synth_media(docs)).drop("batch_rows")
 
 
+def q_cms_user_counts(spark, sf_dir):
+    """Count-min sketch: frequency estimates from a width×depth-cell
+    sketch (bounded state regardless of key cardinality), probed for
+    every distinct user and joined to true counts — est_n ≥ true_n by
+    construction; equality whenever no bucket collision."""
+    from apm_opentelemetry_collector_spark.functions.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    sketch = cms_build(ev, "user_id")
+    est = cms_estimate(sketch, ev.select("user_id").distinct(), "user_id")
+    true = ev.groupBy("user_id").agg(F.count("*").alias("true_n"))
+    return est.join(true, "user_id")
+
+
 MIXTURE_RATES = {"src0": 1.0, "src1": 0.5, "_default": 0.25}
 
 
@@ -805,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
         "stratified_sample": q_stratified_sample,
+        "cms_user_counts": q_cms_user_counts,
         "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
         # batch shape are covered by pytest oracles instead)
@@ -1038,6 +1056,41 @@ WITH cb AS (
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
 """
+
+
+def _cms_sql() -> str:
+    """Oracle twin of the count-min sketch: identical md5-derived
+    bucket arithmetic, same width/depth."""
+    from apm_opentelemetry_collector_spark.functions.sketch import (
+        DEPTH,
+        WIDTH,
+        bucket_sql,
+    )
+
+    cells = " UNION ALL ".join(
+        f"SELECT {d} AS row, {bucket_sql(d, 'user_id', WIDTH)} AS bucket FROM events"
+        for d in range(DEPTH)
+    )
+    pairs = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS row, {bucket_sql(d, 'user_id', WIDTH)} AS bucket FROM probes"
+        for d in range(DEPTH)
+    )
+    return f"""
+WITH cells AS ({cells}
+), sketch AS (
+  SELECT row, bucket, count(*) AS n FROM cells GROUP BY row, bucket
+), probes AS (
+  SELECT DISTINCT user_id FROM events
+), pairs AS ({pairs}
+), est AS (
+  SELECT p.user_id, min(COALESCE(s.n, 0)) AS est_n
+  FROM pairs p LEFT JOIN sketch s ON s.row = p.row AND s.bucket = p.bucket
+  GROUP BY p.user_id
+), tru AS (
+  SELECT user_id, count(*) AS true_n FROM events GROUP BY user_id
+)
+SELECT e.user_id, e.est_n, t.true_n
+FROM est e JOIN tru t ON t.user_id = e.user_id"""
 
 
 def _embedding_neardup_sql(threshold: float = 0.3) -> str:
@@ -1440,6 +1493,7 @@ SELECT doc_id, {g.lang_id_sql('text')} AS lang_pred FROM documents""",
         "embedding_neardup": _embedding_neardup_sql(0.3),
         "ivf_knn": _ivf_sql(),
         "lsh_knn": _lsh_knn_sql(),
+        "cms_user_counts": _cms_sql(),
         "stratified_sample": f"""
 WITH p AS (
   SELECT doc_id, source,
