@@ -694,6 +694,43 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synth_media(docs)).drop("batch_rows")
 
 
+ALERT_UTIL_THRESHOLD = 50.0
+ALERT_MIN_TICKS = 2
+
+
+def q_alert_sustained_utilization(spark, sf_dir):
+    """Threshold alerting over the scrape series: per host, maximal runs
+    of consecutive ticks with memory.utilization ≥ threshold, kept when
+    the run lasts ≥ ALERT_MIN_TICKS — gaps-and-islands via the
+    row_number difference, the scalable streak detector (one window
+    sort per host, no self-join)."""
+    from pyspark.sql import Window as W
+
+    sfx = to_signalfx(memorymonitor_scrape(spark, os_name="linux"))
+    util = sfx.filter(
+        (F.col("name") == "memory.utilization")
+        & (F.col("value") >= ALERT_UTIL_THRESHOLD)
+    )
+    w = W.partitionBy("host").orderBy("ts")
+    tick = (
+        F.col("ts").cast("timestamp").cast("double") / 10
+    ).cast("bigint")  # scrape interval = 10 s
+    islands = util.withColumn(
+        "island", tick - F.row_number().over(w)
+    )
+    return (
+        islands.groupBy("host", "island")
+        .agg(
+            F.count("*").alias("n_ticks"),
+            F.min("ts").alias("streak_start"),
+            F.max("ts").alias("streak_end"),
+            F.max("value").alias("max_util"),
+        )
+        .filter(F.col("n_ticks") >= ALERT_MIN_TICKS)
+        .drop("island")
+    )
+
+
 def q_cms_user_counts(spark, sf_dir):
     """Count-min sketch: frequency estimates from a width×depth-cell
     sketch (bounded state regardless of key cardinality), probed for
@@ -823,6 +860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn": q_lsh_knn,
         "stratified_sample": q_stratified_sample,
         "cms_user_counts": q_cms_user_counts,
+        "alert_sustained_utilization": q_alert_sustained_utilization,
         "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
         # batch shape are covered by pytest oracles instead)
@@ -1494,6 +1532,22 @@ SELECT doc_id, {g.lang_id_sql('text')} AS lang_pred FROM documents""",
         "ivf_knn": _ivf_sql(),
         "lsh_knn": _lsh_knn_sql(),
         "cms_user_counts": _cms_sql(),
+        "alert_sustained_utilization": f"""
+WITH sfx AS (
+  SELECT name, host, ts, value
+  FROM ({signalfx_oracle_sql(oses=("linux",))})
+), util AS (
+  SELECT host, ts, value,
+         CAST(epoch(ts) / 10 AS BIGINT)
+           - row_number() OVER (PARTITION BY host ORDER BY ts) AS island
+  FROM sfx
+  WHERE name = 'memory.utilization' AND value >= {ALERT_UTIL_THRESHOLD}
+)
+SELECT host, count(*) AS n_ticks,
+       min(ts) AS streak_start, max(ts) AS streak_end,
+       max(value) AS max_util
+FROM util GROUP BY host, island
+HAVING count(*) >= {ALERT_MIN_TICKS}""",
         "stratified_sample": f"""
 WITH p AS (
   SELECT doc_id, source,
