@@ -694,6 +694,31 @@ def q_multimodal_features(spark, sf_dir):
     return extract_features(synth_media(docs)).drop("batch_rows")
 
 
+def q_counter_rate(spark, sf_dir):
+    """SignalFx counter semantics: delta of a cumulative counter with
+    reset handling (decrease ⇒ restart ⇒ delta = post-reset value).
+    The synthetic counter is a per-user running sum mod 1000, so real
+    resets occur; deltas come from one lag window per series."""
+    from pyspark.sql import Window as W
+
+    from apm_opentelemetry_collector_spark.operators.rates import counter_delta
+
+    ev = _load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    counter = (
+        F.sum(F.col("event_id") % 100 + 1).over(
+            w.rowsBetween(W.unboundedPreceding, 0)
+        )
+        % 1000
+    )
+    series = ev.select(
+        "user_id", "event_id", "ts", counter.alias("counter")
+    )
+    return counter_delta(
+        series, ["user_id"], "ts", "counter", order_cols=["event_id"]
+    ).select("user_id", "event_id", "counter", "delta")
+
+
 ALERT_UTIL_THRESHOLD = 50.0
 ALERT_MIN_TICKS = 2
 
@@ -861,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "cms_user_counts": q_cms_user_counts,
         "alert_sustained_utilization": q_alert_sustained_utilization,
+        "counter_rate": q_counter_rate,
         "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
         # batch shape are covered by pytest oracles instead)
@@ -1532,6 +1558,24 @@ SELECT doc_id, {g.lang_id_sql('text')} AS lang_pred FROM documents""",
         "ivf_knn": _ivf_sql(),
         "lsh_knn": _lsh_knn_sql(),
         "cms_user_counts": _cms_sql(),
+        "counter_rate": """
+WITH series AS (
+  SELECT user_id, event_id, ts,
+         CAST(sum(event_id % 100 + 1) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % 1000
+           AS BIGINT) AS counter
+  FROM events
+), lagged AS (
+  SELECT user_id, event_id, counter,
+         lag(counter) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM series
+)
+SELECT user_id, event_id, counter,
+       CAST(CASE WHEN prev IS NULL THEN NULL
+                 WHEN counter >= prev THEN counter - prev
+                 ELSE counter END AS BIGINT) AS delta
+FROM lagged""",
         "alert_sustained_utilization": f"""
 WITH sfx AS (
   SELECT name, host, ts, value

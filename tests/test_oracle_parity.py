@@ -69,12 +69,18 @@ def test_query_matches_oracle(name, spark, duck):
     o = _normalize(odf.rename(columns=dict(zip(odf.columns, map(str, odf.columns)))))
     o.columns = s.columns  # align case after sorting
 
+    # pandas re-coerces None to NaN inside numeric columns, so nulls can
+    # reappear as NaN after normalization — treat either spelling as NULL
+    # (the driver's hasher renders both as the same "NULL" token)
+    def _is_null(v):
+        return v is None or (isinstance(v, float) and math.isnan(v))
+
     for col in s.columns:
         sv, ov = s[col], o[col]
         for i, (a, b) in enumerate(zip(sv, ov)):
-            if a is None and b is None:
+            if _is_null(a) and _is_null(b):
                 continue
-            assert a is not None and b is not None, f"{name}.{col}[{i}]: {a!r} vs {b!r}"
+            assert not (_is_null(a) or _is_null(b)), f"{name}.{col}[{i}]: {a!r} vs {b!r}"
             # Driver hashes values: 3 (int64) and 3.0 (float64) hash
             # differently. Catch the type-class skew before comparing.
             assert isinstance(a, float) == isinstance(b, float), (
