@@ -160,6 +160,82 @@ def sessionize_session_window(
     )
 
 
+ANOMALY_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("var", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def ewma_anomalies(
+    stream: DataFrame,
+    alpha: float = 0.3,
+    k: float = 3.0,
+    min_points: int = 5,
+) -> DataFrame:
+    """Stateful streaming anomaly detection per host: exponentially
+    weighted mean/variance carried ACROSS micro-batches; a point whose
+    z-score exceeds k (after a min_points warm-up) is flagged BEFORE it
+    updates the state, so a spike cannot mask itself.
+
+    This is the custom-stateful-operator case Spark has no Column home
+    for (sequential state per key): applyInPandasWithState with numeric
+    state, the numeric sibling of the forward-fill's string state.
+    Expects columns (host, ts, value).
+    """
+
+    def detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            zs, flags = [], []
+            for x in pdf["value"].astype(float):
+                if n >= min_points and var > 0:
+                    z = (x - mean) / (var ** 0.5)
+                else:
+                    z = 0.0
+                flag = bool(abs(z) > k)
+                zs.append(z)
+                flags.append(flag)
+                if n == 0:
+                    mean, var = x, 0.0
+                else:
+                    d = x - mean
+                    mean += alpha * d
+                    var = (1 - alpha) * (var + alpha * d * d)
+                n += 1
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "ts": pdf["ts"],
+                    "value": pdf["value"].astype(float),
+                    "zscore": zs,
+                    "is_anomaly": flags,
+                }
+            )
+        state.update((float(mean), float(var), int(n)))
+
+    return stream.groupBy("host").applyInPandasWithState(
+        detect,
+        ANOMALY_SCHEMA,
+        EWMA_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_sinks_stream(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ):

@@ -237,3 +237,48 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
         for r in spark.sql("SELECT * FROM dedup_out").collect()
     )
     assert got == [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c")]
+
+
+def test_ewma_anomaly_state_crosses_microbatches(spark, tmp_path):
+    """Baseline learned in micro-batch 1 must flag a spike arriving in
+    micro-batch 2 (state crossed the batch boundary), and the spike must
+    not suppress itself (flagged before updating state)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        ewma_anomalies,
+        run_to_memory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    path = str(tmp_path / "anom_in")
+    # batch 1: steady baseline around 10 (slight wobble so var > 0)
+    base = [Row(host="h0", ts=sec(i), value=10.0 + (i % 2) * 0.5) for i in range(20)]
+    spark.createDataFrame(base, schema).coalesce(1).write.mode("append").parquet(path)
+    # batch 2: one spike then recovery
+    b2 = [Row(host="h0", ts=sec(20), value=100.0),
+          Row(host="h0", ts=sec(21), value=10.0)]
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    run_to_memory(ewma_anomalies(stream), "anom_out")
+    rows = {r["ts"]: r for r in spark.sql("SELECT * FROM anom_out").collect()}
+    assert len(rows) == 22
+    assert rows[sec(20)]["is_anomaly"] is True        # spike flagged
+    assert abs(rows[sec(20)]["zscore"]) > 3
+    assert rows[sec(5)]["is_anomaly"] is False        # baseline quiet
+    # state crossed batches: the spike's z-score used batch-1 statistics
+    assert rows[sec(0)]["zscore"] == 0.0              # warm-up
