@@ -67,7 +67,12 @@ def main() -> None:
         transcripts = synth_transcripts(spark, n_rows=args.synthetic,
                                         n_convs=max(args.synthetic // 100, 1))
     else:
-        transcripts = spark.read.parquet(args.input)
+        # path → parquet; catalog.db.table → Iceberg (north_star input)
+        from apm_opentelemetry_collector_spark.sources.iceberg import (
+            read_transcripts,
+        )
+
+        transcripts = read_transcripts(spark, args.input)
 
     res = run_job(
         spark,
