@@ -575,6 +575,42 @@ def q_rollup_orders(spark, sf_dir):
     )
 
 
+def q_cube_orders(spark, sf_dir):
+    """CUBE: all grouping-set combinations over (priority, status) —
+    the remaining GROUPING SETS shape beside rollup and pivot."""
+    orders = _load(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
+def q_events_hourly_rollup(spark, sf_dir):
+    """Event-time tumbling-window rollup (the batch face of the
+    streaming windowed aggregate): per hour × event_type — counts,
+    distinct users, exact decimal value total."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "n_users",
+            "total_value",
+        )
+    )
+
+
 def q_pivot_status_by_priority(spark, sf_dir):
     """Pivot with a pinned column list (stable schema both engines)."""
     orders = _load(spark, sf_dir, "orders")
@@ -868,6 +904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "value_percentiles": q_value_percentiles,
         "rollup_orders": q_rollup_orders,
+        "cube_orders": q_cube_orders,
+        "events_hourly_rollup": q_events_hourly_rollup,
         "pivot_status_by_priority": q_pivot_status_by_priority,
         # training-data ops (documents/embeddings)
         "dedup_exact": q_dedup_exact,
@@ -1509,6 +1547,18 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+        "cube_orders": """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
+        "events_hourly_rollup": """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type""",
         "pivot_status_by_priority": """
 SELECT o_orderpriority,
        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
