@@ -755,6 +755,21 @@ def q_counter_rate(spark, sf_dir):
     ).select("user_id", "event_id", "counter", "delta")
 
 
+def q_hll_distinct_users(spark, sf_dir):
+    """HLL-style distinct sketch: 256-bucket md5 leading-zero ranks with
+    linear-counting small-range correction — bounded state per group
+    regardless of key cardinality, estimate bit-checked by the oracle
+    (harmonic terms are exact powers of two → order-independent sum)."""
+    from apm_opentelemetry_collector_spark.functions.sketch import hll_distinct
+
+    ev = _load(spark, sf_dir, "events")
+    est = hll_distinct(ev, "user_id", ["event_type"])
+    true = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return est.join(true, "event_type")
+
+
 ALERT_UTIL_THRESHOLD = 50.0
 ALERT_MIN_TICKS = 2
 
@@ -925,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_user_counts": q_cms_user_counts,
         "alert_sustained_utilization": q_alert_sustained_utilization,
         "counter_rate": q_counter_rate,
+        "hll_distinct_users": q_hll_distinct_users,
         "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
         # batch shape are covered by pytest oracles instead)
@@ -1158,6 +1174,19 @@ WITH cb AS (
 )
 SELECT query_id, neighbor_id, rank, round(cos, 6) AS cos FROM ranked WHERE rank <= {k}
 """
+
+
+def _hll_users_sql() -> str:
+    from apm_opentelemetry_collector_spark.functions.sketch import hll_sql
+
+    return f"""
+WITH est AS ({hll_sql("user_id", "event_type", "events")}
+), tru AS (
+  SELECT event_type, count(DISTINCT user_id) AS true_distinct
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, e.est_distinct, t.true_distinct
+FROM est e JOIN tru t USING (event_type)"""
 
 
 def _cms_sql() -> str:
@@ -1608,6 +1637,7 @@ SELECT doc_id, {g.lang_id_sql('text')} AS lang_pred FROM documents""",
         "ivf_knn": _ivf_sql(),
         "lsh_knn": _lsh_knn_sql(),
         "cms_user_counts": _cms_sql(),
+        "hll_distinct_users": _hll_users_sql(),
         "counter_rate": """
 WITH series AS (
   SELECT user_id, event_id, ts,

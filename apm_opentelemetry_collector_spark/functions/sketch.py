@@ -94,3 +94,88 @@ def cms_estimate(
         .groupBy(F.col("_key").alias(key_col))
         .agg(F.min("n").alias("est_n"))
     )
+
+
+# --- HyperLogLog-style distinct sketch ---------------------------------------
+#
+# m = 256 buckets from the first md5 byte; rank = leading-zero bits of
+# the remaining 120 bits + 1, found with a portable regexp + nibble CASE.
+# All per-bucket terms 2^-M are exact powers of two with realistic ranks
+# ≤ ~30, so the harmonic sum is order-independent and bit-identical in
+# Spark and DuckDB; ln() (small-range correction) is the one libm call,
+# neutralized by rounding the estimate to 4 decimals on both sides.
+
+HLL_M = 256
+HLL_ALPHA_M2 = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M  # inlined literal
+HLL_ALLZERO_RANK = 121  # 120 zero bits + 1 (md5 tail exhausted)
+
+
+def _hll_rank_spark(key):
+    hx = F.md5(key.cast("string").cast("binary"))
+    bucket = F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint")
+    tail = F.substring(hx, 3, 30)
+    z = F.length(F.regexp_extract(tail, "^(0*)", 1))
+    nz = F.substring(tail, (z + 1).cast("int"), 1)
+    v = F.instr(F.lit("0123456789abcdef"), nz) - 1
+    czn = (
+        F.when(v >= 8, 0).when(v >= 4, 1).when(v >= 2, 2).otherwise(3)
+    )
+    rank = F.when(z >= 30, F.lit(HLL_ALLZERO_RANK)).otherwise(4 * z + czn + 1)
+    return bucket, rank
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str]) -> DataFrame:
+    """Approximate distinct count of key_col per group, HLL estimator
+    with linear-counting small-range correction. Output: group_cols +
+    est_distinct (double, rounded to 4 decimals)."""
+    bucket, rank = _hll_rank_spark(F.col(key_col))
+    per_bucket = (
+        df.select(*group_cols, bucket.alias("_b"), rank.alias("_r"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.max("_r").alias("_m"))
+    )
+    agg = per_bucket.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_s"),
+        F.count("*").alias("_present"),
+    )
+    m = F.lit(HLL_M).cast("double")
+    v_zero = m - F.col("_present")
+    s_full = F.col("_s") + v_zero  # absent buckets contribute 2^0 = 1
+    est_raw = F.lit(HLL_ALPHA_M2) / s_full
+    est = F.when(
+        (est_raw <= 2.5 * m) & (v_zero > 0), m * F.log(m / v_zero)
+    ).otherwise(est_raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("est_distinct"))
+
+
+def hll_sql(key_sql: str, group_col: str, table: str = "events") -> str:
+    """Oracle twin of hll_distinct — same constants, same arithmetic."""
+    hx = f"md5(CAST({key_sql} AS VARCHAR))"
+    nib = lambda i: f"(instr('0123456789abcdef', substr({hx}, {i}, 1)) - 1)"
+    tail = f"substr({hx}, 3, 30)"
+    z = f"length(regexp_extract({tail}, '^(0*)', 1))"
+    nzv = f"(instr('0123456789abcdef', substr({tail}, {z} + 1, 1)) - 1)"
+    est_raw = f"({HLL_ALPHA_M2!r} / (s + ({HLL_M}.0 - present)))"
+    return f"""
+WITH r AS (
+  SELECT {group_col},
+         {nib(1)} * 16 + {nib(2)} AS b,
+         CASE WHEN {z} >= 30 THEN {HLL_ALLZERO_RANK}
+              ELSE 4 * {z}
+                   + (CASE WHEN {nzv} >= 8 THEN 0
+                           WHEN {nzv} >= 4 THEN 1
+                           WHEN {nzv} >= 2 THEN 2
+                           ELSE 3 END) + 1
+         END AS rank
+  FROM {table}
+), per_bucket AS (
+  SELECT {group_col}, b, max(rank) AS m FROM r GROUP BY {group_col}, b
+), agg AS (
+  SELECT {group_col}, sum(pow(2.0, -m)) AS s, count(*) AS present
+  FROM per_bucket GROUP BY {group_col}
+)
+SELECT {group_col}, round(
+  CASE WHEN {est_raw} <= 2.5 * {HLL_M}.0 AND ({HLL_M}.0 - present) > 0
+       THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M}.0 - present))
+       ELSE {est_raw} END, 4) AS est_distinct
+FROM agg"""
