@@ -263,6 +263,34 @@ def write_sinks_stream(
     )
 
 
+def write_sinks_stream_merge(
+    routed: DataFrame, table: str, checkpoint_dir: str
+):
+    """Streaming sink upgraded to MERGE semantics: each micro-batch
+    upserts into an Iceberg table on the routed-row identity key, so a
+    replayed epoch is idempotent at the ROW level (not just the epoch
+    directory level of write_sinks_stream). Iceberg runtime required —
+    gated like the rest of sources/iceberg.py; the parquet epoch sink
+    remains the fallback."""
+    from ..sources.iceberg import iceberg_available, merge_resume
+
+    spark = routed.sparkSession
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "MERGE streaming sink requires the Iceberg runtime; use "
+            "write_sinks_stream (epoch-idempotent parquet) instead"
+        )
+
+    def merge_batch(df: DataFrame, epoch_id: int) -> None:
+        merge_resume(spark, table, df, view_name=f"_epoch_{epoch_id}")
+
+    return (
+        routed.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:

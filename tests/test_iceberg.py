@@ -58,3 +58,13 @@ def test_merge_sql_shape():
                  "t.sink = s.sink", "WHEN MATCHED THEN UPDATE SET *",
                  "WHEN NOT MATCHED THEN INSERT *"):
         assert frag in sql
+
+
+def test_streaming_merge_sink_gates_cleanly(spark):
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        write_sinks_stream_merge,
+    )
+
+    df = synth_transcripts(spark, 10, 2)
+    with pytest.raises(RuntimeError, match="MERGE streaming sink requires"):
+        write_sinks_stream_merge(df, "local.db.routed", "/tmp/nope")
