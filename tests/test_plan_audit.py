@@ -191,6 +191,9 @@ def test_new_queries_no_python_nodes(spark):
     for name in ("lsh_knn", "asof_last_event", "metrics_resample",
                  "q3_shipping_priority", "q5_local_supplier_volume",
                  "q14_promo_revenue", "token_count_bpe",
-                 "events_sessionize_window"):
+                 "events_sessionize_window", "cms_user_counts",
+                 "hll_distinct_users", "alert_sustained_utilization",
+                 "counter_rate", "cube_orders", "events_hourly_rollup",
+                 "stratified_sample"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
