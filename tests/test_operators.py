@@ -276,3 +276,41 @@ def test_asof_join_matches_python_reference(spark):
         want[(k, ts, payload)] = match
     assert len(got) == len(lrows)
     assert got == want
+
+
+# --- salted join: identical results, hot key spread over n_salts tasks -------
+def test_salted_join_equals_plain_join(spark):
+    from apm_opentelemetry_collector_spark.operators.skew import salted_join
+
+    # hot key: conv 'hot' holds half the big side
+    big = spark.createDataFrame(
+        [("hot" if i % 2 == 0 else f"c{i % 37}", i, f"t{i}") for i in range(4000)],
+        "conv_id string, turn_idx long, text string",
+    )
+    small = spark.createDataFrame(
+        [("hot", "sinkH"), ("c1", "sink1"), ("c2", "sink2")],
+        "conv_id string, sink string",
+    )
+    plain = {
+        tuple(r)
+        for r in big.join(small, "conv_id").select(
+            "conv_id", "turn_idx", "sink"
+        ).collect()
+    }
+    salted = {
+        tuple(r)
+        for r in salted_join(big, small, ["conv_id"], salt_from="turn_idx")
+        .select("conv_id", "turn_idx", "sink")
+        .collect()
+    }
+    assert salted == plain and len(plain) > 2000
+
+    # the hot key's rows really spread: >1 distinct salt value observed
+    from pyspark.sql import functions as FF
+    n_salts_used = (
+        big.filter(FF.col("conv_id") == "hot")
+        .select(FF.pmod(FF.xxhash64("turn_idx"), FF.lit(8)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_salts_used > 4
