@@ -58,3 +58,23 @@ def test_single_pass_mode(spark, tmp_path):
     assert m["routed_rows"] > 0
     # conservation recorded in the manifest
     assert m["routed_rows"] == sum(m["by_outcome"].values())
+
+
+def test_resume_reuses_materialized_bucketed_input(spark, tmp_path):
+    """A resumed run must NOT rescan/rewrite the raw input: the
+    _bucketed layout materialized before the crash is reused (the
+    _SUCCESS marker gates it)."""
+    import os
+
+    tr = synth_transcripts(spark, n_rows=2_000, n_convs=40)
+    out_dir = str(tmp_path / "job")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_job(spark, tr, out_dir, n_buckets=N_BUCKETS, fail_after=1)
+
+    marker = os.path.join(out_dir, "_bucketed", "_SUCCESS")
+    assert os.path.exists(marker)
+    mtime_before = os.path.getmtime(marker)
+
+    res = run_job(spark, tr, out_dir, n_buckets=N_BUCKETS)
+    assert len(res.buckets_run) == N_BUCKETS - 1
+    assert os.path.getmtime(marker) == mtime_before  # untouched on resume
