@@ -641,6 +641,19 @@ def q_token_count(spark, sf_dir):
     return docs.select("doc_id", textfn.token_count("text").alias("n_tokens"))
 
 
+def q_pii_scrub(spark, sf_dir):
+    """Curation scrubbing: mask emails/URLs/IPs/long numbers with stable
+    tokens + per-rule audit counts; one regexp chain, rules rendered
+    into both engines from functions.text.SCRUB_RULES."""
+    docs = _load(spark, sf_dir, "documents")
+    counts = textfn.scrub_counts("text")
+    return docs.select(
+        "doc_id",
+        textfn.scrub_text("text").alias("scrubbed"),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+    )
+
+
 def q_token_count_bpe(spark, sf_dir):
     """Whitespace + BPE-ish pretokenizer counts side by side — the two
     token estimators a curation pass runs before real tokenization."""
@@ -927,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
         "token_count_bpe": q_token_count_bpe,
+        "pii_scrub": q_pii_scrub,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "knn_bruteforce": q_knn_bruteforce,
@@ -1611,6 +1625,11 @@ FROM documents GROUP BY 1""",
 SELECT doc_id, {g.FINGERPRINT_SQL.format(col='text')} AS fingerprint FROM documents""",
         "token_count": f"""
 SELECT doc_id, CAST({g.TOKEN_COUNT_SQL.format(col='text')} AS BIGINT) AS n_tokens
+FROM documents""",
+        "pii_scrub": f"""
+SELECT doc_id,
+  {g.scrub_sql('text')} AS scrubbed,
+  {", ".join(f"CAST({g.scrub_count_sql('text', n)} AS BIGINT) AS n_{n}" for n, _p, _m in g.SCRUB_RULES)}
 FROM documents""",
         "token_count_bpe": f"""
 SELECT doc_id,

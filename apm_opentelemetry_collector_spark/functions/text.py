@@ -54,6 +54,48 @@ def token_count(text: Column | str) -> Column:
 BPE_TOKEN_RE = "'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
 
 
+# PII-ish scrubbing: dialect-portable patterns (Java regex ∩ RE2), each
+# rendered into BOTH engines. Order matters (emails before bare domains
+# would, if added, need care); masks are stable tokens so downstream
+# dedup/fingerprints stay deterministic.
+SCRUB_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ipv4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("long_number", r"\b[0-9]{9,}\b", "<NUM>"),
+]
+
+
+def scrub_text(text: Column | str) -> Column:
+    """Apply SCRUB_RULES in order; returns the masked text."""
+    c = _c(text)
+    for _name, pat, mask in SCRUB_RULES:
+        c = F.regexp_replace(c, pat, mask)
+    return c
+
+
+def scrub_counts(text: Column | str) -> dict[str, Column]:
+    """Per-rule match counts on the ORIGINAL text (audit columns)."""
+    c = _c(text)
+    return {
+        name: F.regexp_count(c, F.lit(pat)).cast("bigint")
+        for name, pat, _mask in SCRUB_RULES
+    }
+
+
+def scrub_sql(col: str) -> str:
+    out = col
+    for _name, pat, mask in SCRUB_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{mask}', 'g')"
+    return out
+
+
+def scrub_count_sql(col: str, rule: str) -> str:
+    pat = next(p for n, p, _m in SCRUB_RULES if n == rule).replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{pat}'))"
+
+
 def bpe_token_count(text: Column | str) -> Column:
     """BPE-ish token count: number of pretokenizer matches (the unit a
     subword tokenizer would split further) — the cheap, deterministic

@@ -314,3 +314,34 @@ def test_salted_join_equals_plain_join(spark):
         .count()
     )
     assert n_salts_used > 4
+
+
+def test_pii_scrub_rules_fire(spark):
+    """The scrub rules must actually fire (the testdata corpus contains
+    no PII, so the driver oracle alone would be vacuous)."""
+    from apm_opentelemetry_collector_spark.functions.text import (
+        scrub_counts,
+        scrub_text,
+    )
+
+    rows = [
+        (1, "contact alice.smith+x@example.co.uk or https://ex.com/a?b=1 now"),
+        (2, "server 192.168.001.250 responded; card 4111111111111111 used"),
+        (3, "clean text, no sensitive content here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = scrub_counts("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            scrub_text("text").alias("s"),
+            *[c.alias(f"n_{n}") for n, c in counts.items()],
+        ).collect()
+    }
+    assert out[1]["s"] == "contact <EMAIL> or <URL> now"
+    assert out[1]["n_email"] == 1 and out[1]["n_url"] == 1
+    assert out[2]["s"] == "server <IP> responded; card <NUM> used"
+    assert out[2]["n_ipv4"] == 1 and out[2]["n_long_number"] == 1
+    assert out[3]["s"] == rows[2][1]
+    assert all(out[3][f"n_{n}"] == 0 for n in ("email", "url", "ipv4", "long_number"))
