@@ -768,6 +768,31 @@ def q_counter_rate(spark, sf_dir):
     ).select("user_id", "event_id", "counter", "delta")
 
 
+BLOOM_MEMBER_PREDICATE = "event_type = 'error' AND value > 150"
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership: build the filter from users with a
+    high-value error event, probe EVERY user — maybe_member can false-
+    positive but never false-negative, and the deterministic md5 bits
+    mean the oracle reproduces the filter (false positives included)."""
+    from apm_opentelemetry_collector_spark.functions.sketch import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    members = ev.filter(F.expr(BLOOM_MEMBER_PREDICATE)).select("user_id").distinct()
+    bloom = bloom_build(members, "user_id")
+    probes = ev.select("user_id").distinct()
+    maybe = bloom_probe(bloom, probes, "user_id")
+    truth = members.withColumn("true_member", F.lit(True))
+    return (
+        maybe.join(truth.select("user_id", "true_member"), "user_id", "left")
+        .na.fill({"true_member": False})
+    )
+
+
 def q_hll_distinct_users(spark, sf_dir):
     """HLL-style distinct sketch: 256-bucket md5 leading-zero ranks with
     linear-counting small-range correction — bounded state per group
@@ -955,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "alert_sustained_utilization": q_alert_sustained_utilization,
         "counter_rate": q_counter_rate,
         "hll_distinct_users": q_hll_distinct_users,
+        "bloom_membership": q_bloom_membership,
         "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
         # batch shape are covered by pytest oracles instead)
@@ -1201,6 +1227,42 @@ WITH est AS ({hll_sql("user_id", "event_type", "events")}
 )
 SELECT e.event_type, e.est_distinct, t.true_distinct
 FROM est e JOIN tru t USING (event_type)"""
+
+
+def _bloom_sql() -> str:
+    from apm_opentelemetry_collector_spark.functions.sketch import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bit_sql,
+    )
+
+    member_bits = " UNION ALL ".join(
+        f"SELECT {bloom_bit_sql(d, 'user_id', BLOOM_M)} AS bit FROM members"
+        for d in range(BLOOM_K)
+    )
+    probe_bits = " UNION ALL ".join(
+        f"SELECT user_id, {bloom_bit_sql(d, 'user_id', BLOOM_M)} AS bit FROM probes"
+        for d in range(BLOOM_K)
+    )
+    return f"""
+WITH members AS (
+  SELECT DISTINCT user_id FROM events WHERE {BLOOM_MEMBER_PREDICATE}
+), bloom AS (
+  SELECT DISTINCT bit FROM ({member_bits})
+), probes AS (
+  SELECT DISTINCT user_id FROM events
+), pbits AS ({probe_bits}
+), hits AS (
+  SELECT p.user_id, count(*) AS n_hits
+  FROM pbits p JOIN bloom b ON b.bit = p.bit
+  GROUP BY p.user_id
+)
+SELECT pr.user_id,
+       COALESCE(h.n_hits, 0) >= {BLOOM_K} AS maybe_member,
+       (m.user_id IS NOT NULL) AS true_member
+FROM probes pr
+LEFT JOIN hits h ON h.user_id = pr.user_id
+LEFT JOIN members m ON m.user_id = pr.user_id"""
 
 
 def _cms_sql() -> str:
@@ -1657,6 +1719,7 @@ SELECT doc_id, {g.lang_id_sql('text')} AS lang_pred FROM documents""",
         "lsh_knn": _lsh_knn_sql(),
         "cms_user_counts": _cms_sql(),
         "hll_distinct_users": _hll_users_sql(),
+        "bloom_membership": _bloom_sql(),
         "counter_rate": """
 WITH series AS (
   SELECT user_id, event_id, ts,

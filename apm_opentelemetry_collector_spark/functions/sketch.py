@@ -179,3 +179,78 @@ SELECT {group_col}, round(
        THEN {HLL_M}.0 * ln({HLL_M}.0 / ({HLL_M}.0 - present))
        ELSE {est_raw} END, 4) AS est_distinct
 FROM agg"""
+
+
+# --- Bloom filter -------------------------------------------------------------
+#
+# Membership sketch: k md5-derived bit positions per key over an m-bit
+# space; a probe key "maybe" belongs when ALL its bits are set (false
+# positives possible, false negatives impossible). Build = explode k
+# positions → distinct (bounded ≤ m rows); probe = broadcast join + a
+# bits-hit count. Deterministic hashing → the oracle reproduces the
+# filter bit for bit, INCLUDING its false positives.
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 4     # hash functions
+
+
+def _bloom_bit_spark(d: int, key, m: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"b{d}:"), key.cast("string")).cast("binary")),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % m
+    )
+
+
+def bloom_bit_sql(d: int, key_sql: str, m: int = BLOOM_M) -> str:
+    md5 = f"md5('b{d}:' || CAST({key_sql} AS VARCHAR))"
+    nib = lambda i: f"(instr('0123456789abcdef', substr({md5}, {i}, 1)) - 1)"
+    return f"(({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)}) % {m})"
+
+
+def bloom_build(
+    df: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Set-bit table: one row per set bit (≤ m rows)."""
+    key = F.col(key_col)
+    bits = F.array(*[_bloom_bit_spark(d, key, m) for d in range(k)])
+    return df.select(F.explode(bits).alias("bit")).distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """maybe_member = all k bits set. Output: key_col, maybe_member."""
+    key = F.col(key_col)
+    pairs = probes.select(
+        key.alias("_key"),
+        F.explode(
+            F.array(*[_bloom_bit_spark(d, key, m) for d in range(k)])
+        ).alias("bit"),
+    )
+    hits = (
+        pairs.join(F.broadcast(bloom), "bit", "left_semi")
+        .groupBy("_key")
+        .agg(F.count("*").alias("_hits"))
+    )
+    return (
+        probes.select(key.alias("_key"))
+        .distinct()
+        .join(hits, "_key", "left")
+        .na.fill({"_hits": 0})
+        .select(
+            F.col("_key").alias(key_col),
+            (F.col("_hits") >= k).alias("maybe_member"),
+        )
+    )
