@@ -32,7 +32,6 @@ from apm_opentelemetry_collector_spark.functions.parse import with_parsed
 from apm_opentelemetry_collector_spark.functions.vectors import brute_force_knn
 from apm_opentelemetry_collector_spark.operators import dedup as dd
 from apm_opentelemetry_collector_spark.operators.aggregate import (
-    conv_bucket_col,
     sink_outcome_counts,
 )
 from apm_opentelemetry_collector_spark.operators.enrich import enrich

@@ -4,7 +4,6 @@ invariants, encoder.go:226-263)."""
 
 from __future__ import annotations
 
-import tempfile
 
 import pytest
 

@@ -128,7 +128,7 @@ def test_job_bucket_slice_prunes_partitioned_layout(spark, tmp_path):
     # run_job's per-bucket read over the write_partitioned layout must be
     # a partition-pruned scan (one bucket's files), not a full rescan —
     # AND slice the same rows as the on-the-fly xxhash bucketing.
-    from apm_opentelemetry_collector_spark.plans.job import bucket_expr, bucket_slice
+    from apm_opentelemetry_collector_spark.plans.job import bucket_slice
     from apm_opentelemetry_collector_spark.sources.transcripts import (
         synth_transcripts,
         write_partitioned,

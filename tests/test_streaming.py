@@ -177,7 +177,7 @@ def test_rate_scrape_stream_matches_batch_generator(spark):
     import time
 
     from apm_opentelemetry_collector_spark.operators.translate import (
-        N_HOSTS,
+
         memorymonitor_scrape,
         memorymonitor_stream,
         to_signalfx,
