@@ -75,7 +75,14 @@ def scrub_text(text: Column | str) -> Column:
 
 
 def scrub_counts(text: Column | str) -> dict[str, Column]:
-    """Per-rule match counts on the ORIGINAL text (audit columns)."""
+    """Per-rule match counts on the ORIGINAL text (audit columns).
+
+    Caveat: scrub_text applies rules sequentially, so when patterns
+    overlap (e.g. a URL containing an email) these counts can exceed the
+    replacements actually made — they are per-rule matches on raw text,
+    not applied-replacement counts. The DuckDB oracle (scrub_count_sql)
+    shares the same semantics, so parity is unaffected.
+    """
     c = _c(text)
     return {
         name: F.regexp_count(c, F.lit(pat)).cast("bigint")

@@ -20,6 +20,8 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 from dataclasses import dataclass
 
@@ -153,9 +155,14 @@ def estimate_filter(
 ) -> DataFrame:
     """Prune candidates by minhash agreement ≥ est_min before exact verify.
 
-    Two broadcast joins against the tiny signature table + N component
-    comparisons per pair — orders of magnitude cheaper than the
-    shingle-intersection join it gates.
+    Two equi-joins against the signature table + N component comparisons
+    per pair — orders of magnitude cheaper than the shingle-intersection
+    join it gates. The signature table is one row per DOCUMENT, so it
+    scales with the corpus: no forced F.broadcast() here (at 100 TB it is
+    billions of rows × n_hashes md5 strings). The ids are uniform md5-ish
+    keys, so AQE's shuffled hash join is the right strategy — and AQE is
+    still free to broadcast on its own when the actual size is below
+    autoBroadcastJoinThreshold (e.g. CI-scale fixtures).
     """
     n = cfg.n_hashes
     sa = sig.select(
@@ -169,8 +176,8 @@ def estimate_filter(
         for j in range(n)
     )
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(agree >= int(cfg.est_min * n))
         .select("id_a", "id_b")
     )
@@ -241,8 +248,13 @@ def minhash_lsh_dedup(
         sc = docs.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             # point at durable shared storage on a real cluster; a scratch
-            # dir is the single-node stand-in
-            sc.setCheckpointDir(tempfile.mkdtemp(prefix="spark-ckpt-"))
+            # dir is the single-node stand-in. Register it for removal at
+            # interpreter exit so repeated dedup calls in a long session
+            # don't leak checkpoint files in /tmp (the ContextCleaner only
+            # removes them with cleanCheckpoints=true, a startup-only conf).
+            scratch = tempfile.mkdtemp(prefix="spark-ckpt-")
+            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+            sc.setCheckpointDir(scratch)
         # persist BEFORE the reliable checkpoint: the checkpoint job
         # otherwise RECOMPUTES the whole lineage a second time (measured
         # 1.8× on the sf0.1 bench). The cache is dropped right after —
@@ -271,16 +283,17 @@ def cross_source_contamination(
     eval set). Candidate generation is the same banded LSH — never an
     all-pairs scan across corpora — with the cross-source constraint
     applied to the verified pairs. Output: id_a, id_b, source_a,
-    source_b, jaccard."""
+    source_b, jaccard.
+
+    The per-doc source map scales with the corpus — like the signature
+    table in estimate_filter it must NOT be force-broadcast; plain
+    equi-joins on uniform ids let AQE pick shuffled-hash (or broadcast
+    when genuinely small)."""
     pairs = minhash_lsh_dedup(docs, threshold, text_col, id_col, cfg)
     src = docs.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src"))
     return (
-        pairs.join(
-            F.broadcast(src.selectExpr("_id AS id_a", "_src AS source_a")), "id_a"
-        )
-        .join(
-            F.broadcast(src.selectExpr("_id AS id_b", "_src AS source_b")), "id_b"
-        )
+        pairs.join(src.selectExpr("_id AS id_a", "_src AS source_a"), "id_a")
+        .join(src.selectExpr("_id AS id_b", "_src AS source_b"), "id_b")
         .filter(F.col("source_a") != F.col("source_b"))
         .select("id_a", "id_b", "source_a", "source_b", "jaccard")
     )

@@ -116,7 +116,12 @@ def _decode_proto_payload(payload: bytes) -> list[tuple[str, int, str]]:
             elif tag == 0x1A:
                 ln2, j = _read_varint(m, j + 1)
                 text, j = m[j : j + ln2].decode(), j + ln2
-            else:  # unknown field: skip per proto rules (wire 0/2 only)
+            else:
+                # Deliberately STRICTER than proto semantics: this is a
+                # test oracle for our own encoder, so an unknown tag (or a
+                # field number > 15, which would need a multi-byte tag)
+                # means the encoder changed — fail loudly instead of
+                # skipping like a lenient proto reader would.
                 raise ValueError(f"unexpected tag {tag:#x}")
         out.append((conv_id, int(turn_idx), text))
     return out

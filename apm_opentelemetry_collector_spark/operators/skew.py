@@ -33,9 +33,21 @@ def salted_join(
 
     salt_from: a column of `big` whose hash varies within a key (e.g.
     turn_idx, event_id) — the salt source; deterministic across replays.
+
+    how is restricted to {inner, left, left_semi}: those are exactly the
+    modes where replicating the small side is equivalence-preserving.
+    For right/full outer, an unmatched small-side key would surface once
+    per salt replica (n_salts null-extended rows instead of one).
     """
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    allowed = {"inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi", "semi"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}) is not equivalence-preserving: the "
+            "replicated small side would emit unmatched rows once per salt. "
+            "Use inner/left/left_semi, or a plain join for outer modes."
+        )
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_salts))
     )

@@ -163,7 +163,8 @@ def bucket_slice(transcripts: DataFrame, bucket: int, n_buckets: int) -> DataFra
     column (same pmod(xxhash64(conv_id), n) bucketing as bucket_expr),
     filter on IT — the parquet scan then prunes to the bucket's files
     (PartitionFilters; asserted in tests/test_plan_audit.py). The caller
-    must run with the layout's n_buckets. Without the column, the bucket
+    must run with the layout's n_buckets; run_job fails fast on a
+    mismatch (validate_bucket_layout). Without the column, the bucket
     is computed on the fly, which cannot prune — run_job materializes the
     bucketed input ONCE in that case rather than rescanning per bucket.
     """
@@ -174,6 +175,29 @@ def bucket_slice(transcripts: DataFrame, bucket: int, n_buckets: int) -> DataFra
         .filter(F.col("_bucket") == bucket)
         .drop("_bucket")
     )
+
+
+def validate_bucket_layout(transcripts: DataFrame, n_buckets: int) -> None:
+    """Fail fast when a pre-bucketed layout disagrees with n_buckets.
+
+    bucket_slice trusts an existing conv_bucket column; if the layout was
+    written with MORE buckets than this run's n_buckets, rows with
+    conv_bucket >= n_buckets would silently never be processed yet the
+    job would complete and write manifests. conv_bucket is a partition
+    column, so the distinct query below is answered from partition values
+    (column-pruned scan, no data pages) — cheap even on a huge layout.
+    """
+    vals = [
+        r[0]
+        for r in transcripts.select("conv_bucket").distinct().collect()
+    ]
+    bad = sorted(int(v) for v in vals if v is None or not (0 <= int(v) < n_buckets))
+    if bad:
+        raise ValueError(
+            f"input layout has conv_bucket values {bad[:8]}{'...' if len(bad) > 8 else ''} "
+            f"outside range({n_buckets}); re-run with the layout's bucket count "
+            "or drop the conv_bucket column to re-bucket on the fly"
+        )
 
 
 def _materialize_bucketed(
@@ -236,7 +260,9 @@ def run_job(
 
     done = completed_buckets(out_dir)
     todo = [b for b in range(n_buckets) if b not in done]
-    if "conv_bucket" not in transcripts.columns and len(todo) > 1:
+    if "conv_bucket" in transcripts.columns:
+        validate_bucket_layout(transcripts, n_buckets)
+    elif len(todo) > 1:
         transcripts = _materialize_bucketed(spark, transcripts, out_dir, n_buckets)
     for b in range(n_buckets):
         if b in done:

@@ -77,3 +77,24 @@ def test_resume_reuses_materialized_bucketed_input(spark, tmp_path):
     res = run_job(spark, tr, out_dir, n_buckets=N_BUCKETS)
     assert len(res.buckets_run) == N_BUCKETS - 1
     assert os.path.getmtime(marker) == mtime_before  # untouched on resume
+
+
+def test_bucket_count_mismatch_fails_fast(spark, tmp_path):
+    """ADVICE r2: a pre-bucketed layout written with MORE buckets than
+    this run's n_buckets must raise, not silently drop the out-of-range
+    buckets' rows."""
+    from apm_opentelemetry_collector_spark.sources.transcripts import (
+        write_partitioned,
+    )
+
+    tr = synth_transcripts(spark, n_rows=2_000, n_convs=40)
+    layout = str(tmp_path / "layout8")
+    write_partitioned(tr, layout, n_buckets=8)
+    pre = spark.read.parquet(layout)
+
+    with pytest.raises(ValueError, match="conv_bucket"):
+        run_job(spark, pre, str(tmp_path / "job"), n_buckets=4)
+
+    # matching count still works
+    res = run_job(spark, pre, str(tmp_path / "job_ok"), n_buckets=8)
+    assert len(res.buckets_run) == 8

@@ -345,3 +345,19 @@ def test_pii_scrub_rules_fire(spark):
     assert out[2]["n_ipv4"] == 1 and out[2]["n_long_number"] == 1
     assert out[3]["s"] == rows[2][1]
     assert all(out[3][f"n_{n}"] == 0 for n in ("email", "url", "ipv4", "long_number"))
+
+
+def test_salted_join_rejects_outer_modes(spark):
+    """ADVICE r2: right/full outer would replicate unmatched small-side
+    rows once per salt — salted_join must refuse those modes."""
+    import pytest
+
+    from apm_opentelemetry_collector_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([("a", 1)], "conv_id string, turn_idx long")
+    small = spark.createDataFrame([("a", "s")], "conv_id string, sink string")
+    for how in ("right", "full", "full_outer", "left_anti"):
+        with pytest.raises(ValueError, match="not equivalence-preserving"):
+            salted_join(big, small, ["conv_id"], salt_from="turn_idx", how=how)
+    # allowed modes still run
+    assert salted_join(big, small, ["conv_id"], salt_from="turn_idx", how="left").count() == 1

@@ -148,9 +148,10 @@ def test_job_bucket_slice_prunes_partitioned_layout(spark, tmp_path):
     assert key(pruned) == key(direct) and len(key(pruned)) > 0
 
 
-def test_job_runner_single_bounded_collect():
+def test_job_runner_bounded_collects_only():
     # the runner must never collect config-unbounded data to the driver;
-    # the ONE allowed .collect() is the ≤#outcomes manifest totals.
+    # the TWO allowed .collect()s are the ≤#outcomes manifest totals and
+    # the ≤n_buckets distinct partition values in validate_bucket_layout.
     import inspect
 
     from apm_opentelemetry_collector_spark.plans import job
@@ -159,9 +160,11 @@ def test_job_runner_single_bounded_collect():
     code = "\n".join(
         l for l in src.splitlines() if not l.strip().startswith("#")
     )
-    assert code.count(".collect()") == 1, "new driver-side collect in plans/job.py"
-    # ...and it is the outcome-totals chain, not a data collect
-    assert 'groupBy("outcome")' in code.split(".collect()")[0][-300:]
+    assert code.count(".collect()") == 2, "new driver-side collect in plans/job.py"
+    first, second = code.split(".collect()")[:2]
+    bounded_markers = ('groupBy("outcome")', 'select("conv_bucket").distinct()')
+    assert any(m in first[-300:] for m in bounded_markers)
+    assert any(m in second[-300:] for m in bounded_markers)
 
 
 def test_asof_join_single_exchange(spark):
@@ -182,6 +185,38 @@ def test_asof_join_single_exchange(spark):
     # semantics spot-check: k=0, left ts=0 matches right ts=0 (inclusive)
     row = {(r["k"], r["payload"]): r["v"] for r in out.collect()}
     assert row[(0, 0)] == 0
+
+
+def test_minhash_verify_join_not_forced_broadcast(spark):
+    # VERDICT r2 "What's wrong" #1-2: the minhash signature table and the
+    # per-doc source map are one-row-per-DOCUMENT — forcing F.broadcast()
+    # on them bypasses autoBroadcastJoinThreshold and OOMs executors at
+    # 100 TB. Assert (a) no broadcast hint survives into the analyzed plan
+    # of the verify path at PRODUCTION banding, and (b) dedup.py carries
+    # no F.broadcast() call at all (its only joins are doc-cardinality).
+    import inspect
+
+    from apm_opentelemetry_collector_spark.operators import dedup
+
+    src = inspect.getsource(dedup)
+    assert "join(F.broadcast(" not in src and "F.broadcast(s" not in src, (
+        "doc-cardinality forced broadcast in dedup.py"
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared shingle text body {i % 3}", f"src{i % 2}") for i in range(12)],
+        "doc_id int, text string, source string",
+    )
+    sh = dedup.shingles(docs)
+    sig = dedup.minhash_signatures(sh, dedup.PRODUCTION_BANDING)
+    pairs = dedup.estimate_filter(
+        dedup.candidate_pairs(dedup.lsh_bands(sig, dedup.PRODUCTION_BANDING)),
+        sig,
+        dedup.PRODUCTION_BANDING,
+    )
+    out = dedup.jaccard(pairs, sh)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed
 
 
 def test_new_queries_no_python_nodes(spark):
