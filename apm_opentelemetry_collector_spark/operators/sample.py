@@ -60,6 +60,62 @@ def stratified_sample(
     return df.filter(prefix16 < threshold)
 
 
+WRS_HEX_CHARS = 12  # 48-bit uniform: fits a BIGINT, ample entropy
+
+
+def _u48(id_col: str) -> F.Column:
+    """Deterministic uniform in (0,1): 48-bit md5 prefix of the id.
+
+    (v + 0.5) / 2^48 keeps u strictly inside (0,1) so ln(u) is finite.
+    """
+    v = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, WRS_HEX_CHARS),
+        16,
+        10,
+    ).cast("bigint")
+    return (v.cast("double") + F.lit(0.5)) / F.lit(float(1 << 48))
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str | F.Column,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement — Efraimidis–Spirakis A-ES.
+
+    Each row gets key = ln(u)/w (u a deterministic per-id uniform,
+    w > 0); the k largest keys are the sample — equivalent to ranking by
+    u^(1/w) but without pow. P(i in sample) is proportional-to-size
+    without replacement, and the whole thing is one expression + a
+    distributed top-k (Catalyst's TakeOrderedAndProject: map-side
+    partial top-k per partition, merge of k·n_partitions candidates) —
+    no shuffle of the full table, no driver-side data.
+
+    Deterministic across replays/parallelism (hash-derived u, total
+    order ties broken by id). Output: the sampled input rows.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    key = F.log(_u48(id_col)) / w.cast("double")
+    return (
+        df.withColumn("_wrs_key", key)
+        .orderBy(F.col("_wrs_key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wrs_key")
+    )
+
+
+def u48_sql(id_expr: str) -> str:
+    """DuckDB twin of _u48: 48-bit hex-prefix of md5 via nibble arithmetic
+    (DuckDB has no conv()), then (v + 0.5) / 2^48."""
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST({id_expr} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (WRS_HEX_CHARS - 1 - i)}"
+        for i in range(WRS_HEX_CHARS)
+    )
+    return f"(({terms}) + 0.5) / {float(1 << 48)!r}"
+
+
 def stratified_threshold_sql(
     rates: dict[str, float], stratum_col: str = "source"
 ) -> str:

@@ -1,0 +1,147 @@
+"""Distributed t-digest quantiles (Dunning & Ertl's merging digest).
+
+Approximate quantiles with bounded state and tail-accurate resolution —
+the sketch a 100 TB telemetry rollup uses where exact percentile_disc
+would need a full sort. Two-level plan:
+
+  1. partial digests: rows are salted into (group, salt) cells by a
+     hash of a unique column (NOT the physical partition id — so the
+     result is deterministic at any parallelism), and one Arrow batch
+     per cell builds a ≤O(delta)-centroid digest from its sorted values
+     (applyInPandas; vectorized numpy inside);
+  2. merge: per group, the ≤ n_partials × O(delta) partial centroids
+     are sorted by mean and re-merged into the final digest, which
+     emits the requested quantiles.
+
+State is bounded by construction (delta centroids per digest), the
+heavy stage is map-side parallel across n_partials × n_groups cells,
+and the merge input per group is a few KB. At larger scale raise
+n_partials so each cell's values fit one Arrow batch.
+
+Python appears only as Arrow batches (applyInPandas) — the same budget
+the parse twin and media decode use; there is no Column-expression
+t-digest, which is exactly the "custom operator" escape hatch the
+brief allows.
+
+Oracle note: the digest is deterministic (hash salting + sorted
+merges) but not SQL-expressible, so the driver check is rows-only;
+tests assert the estimates bracket the exact quantiles (computed by
+DuckDB) within rank tolerance and that results are bit-identical
+across repartitionings.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DELTA = 100
+N_PARTIALS = 32
+
+
+def _k1(q: float, delta: float) -> float:
+    """t-digest scale function k1: fine-grained near q=0/1 (tail accuracy)."""
+    return delta / (2.0 * math.pi) * math.asin(2.0 * q - 1.0)
+
+
+def _merge(means: np.ndarray, weights: np.ndarray, delta: float):
+    """Greedy merge of (mean, weight) points sorted by mean into
+    ≤O(delta) centroids under the k1 size limit. Deterministic for a
+    fixed input order."""
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_done = 0.0  # weight already flushed to out
+    k_lim = _k1(0.0, delta) + 1.0
+    for m, w in zip(means[1:], weights[1:]):
+        m, w = float(m), float(w)
+        if _k1(min((w_done + cur_w + w) / total, 1.0), delta) <= k_lim:
+            cur_w += w
+            cur_m += (m - cur_m) * (w / cur_w)
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_done += cur_w
+            k_lim = _k1(w_done / total, delta) + 1.0
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _quantile(means: np.ndarray, weights: np.ndarray, q: float) -> float:
+    """Estimate the q-quantile by linear interpolation between centroid
+    centers (cumulative weight − w/2), clamped to the extreme means."""
+    total = float(weights.sum())
+    if len(means) == 1:
+        return float(means[0])
+    centers = np.cumsum(weights) - weights / 2.0
+    t = q * total
+    if t <= centers[0]:
+        return float(means[0])
+    if t >= centers[-1]:
+        return float(means[-1])
+    i = int(np.searchsorted(centers, t))
+    if centers[i] == centers[i - 1]:
+        return float(means[i])
+    frac = (t - centers[i - 1]) / (centers[i] - centers[i - 1])
+    return float(means[i - 1] + frac * (means[i] - means[i - 1]))
+
+
+def tdigest_quantiles(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    salt_from: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    delta: float = DELTA,
+    n_partials: int = N_PARTIALS,
+) -> DataFrame:
+    """Per-group t-digest quantile estimates.
+
+    salt_from: a unique (or near-unique) column whose hash spreads each
+    group's rows over n_partials digest cells — determinism comes from
+    hashing DATA, never the physical partition id.
+
+    Output: group_cols..., q (double), est (double).
+    """
+    qs = [float(q) for q in qs]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    gschema = ", ".join(f"`{c}` {types[c]}" for c in group_cols)
+    partial_schema = f"{gschema}, mean double, weight double"
+    out_schema = f"{gschema}, q double, est double"
+
+    base = df.select(
+        *group_cols,
+        F.col(value_col).cast("double").alias("_v"),
+        F.pmod(F.xxhash64(F.col(salt_from)), F.lit(n_partials)).alias("_salt"),
+    ).filter(F.col("_v").isNotNull())
+
+    def build_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(pdf["_v"].to_numpy(dtype=float))
+        m, w = _merge(vals, np.ones(len(vals)), delta)
+        out = pd.DataFrame({"mean": m, "weight": w})
+        for c in group_cols:
+            out[c] = pdf[c].iloc[0]
+        return out[[*group_cols, "mean", "weight"]]
+
+    partials = base.groupBy(*group_cols, "_salt").applyInPandas(
+        build_partial, partial_schema
+    )
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["mean", "weight"], kind="mergesort")
+        m, w = _merge(
+            pdf["mean"].to_numpy(dtype=float), pdf["weight"].to_numpy(dtype=float), delta
+        )
+        out = pd.DataFrame({"q": qs, "est": [_quantile(m, w, q) for q in qs]})
+        for c in group_cols:
+            out[c] = pdf[c].iloc[0]
+        return out[[*group_cols, "q", "est"]]
+
+    return partials.groupBy(*group_cols).applyInPandas(finalize, out_schema)

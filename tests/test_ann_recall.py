@@ -1,0 +1,75 @@
+"""ANN recall harness (VERDICT r2 #3): measure recall@k of the IVF and
+hyperplane-LSH approximate paths against exact brute force.
+
+Two regimes:
+  - the driver fixture (near-random embeddings): recall is structurally
+    bounded by probe coverage (n_probe/n_clusters for IVF), so the
+    assertions are monotonicity + the coverage floor;
+  - planted cluster structure: when neighbors actually share clusters,
+    IVF must recover nearly all of them and multi-probe LSH must beat
+    single-bucket by a wide margin. These floors are what a user tunes
+    n_probe / multi_probe by; measured numbers live in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from apm_opentelemetry_collector_spark.operators.similarity import ann_recall
+from tests.conftest import SF_TINY
+
+
+def _recalls(df) -> dict[str, float]:
+    return {r["method"]: r["recall"] for r in df.collect()}
+
+
+def test_recall_monotone_and_coverage_floor_on_fixture(spark):
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    rec = _recalls(ann_recall(emb, emb.filter(F.col("vec_id") < 5), k=10))
+    assert set(rec) == {"ivf_p1", "ivf_p2", "ivf_p4", "lsh_mp0", "lsh_mp1"}
+    # widening the probe set can only add hits (a displacing candidate
+    # has higher exact cosine, hence is itself a brute-force member)
+    assert rec["ivf_p1"] <= rec["ivf_p2"] <= rec["ivf_p4"]
+    assert rec["lsh_mp0"] <= rec["lsh_mp1"]
+    # coverage floor: probing p of the n_clusters label cells must find
+    # at least ~half the random-baseline share p/n of true neighbors
+    n_clusters = emb.select("label").distinct().count()
+    assert rec["ivf_p4"] >= 0.5 * (4.0 / n_clusters)
+
+
+def _clustered_embeddings(spark, n_clusters=6, per_cluster=60, dim=64):
+    """Deterministic planted clusters: unit-ish center per cluster from
+    md5 bits, members = center + small md5-derived perturbation."""
+
+    def unit(seed: str, scale: float) -> list[float]:
+        out = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}:{d}".encode()).hexdigest()[:8], 16)
+            out.append(scale * ((h / 0xFFFFFFFF) - 0.5))
+        return out
+
+    rows = []
+    vid = 0
+    for c in range(n_clusters):
+        center = unit(f"c{c}", 2.0)
+        for m in range(per_cluster):
+            noise = unit(f"c{c}m{m}", 0.15)
+            rows.append((vid, [x + e for x, e in zip(center, noise)], c))
+            vid += 1
+    return spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label int"
+    )
+
+
+def test_high_recall_on_planted_clusters(spark):
+    emb = _clustered_embeddings(spark)
+    rec = _recalls(ann_recall(emb, emb.filter(F.col("vec_id") % 60 == 0), k=10))
+    # true neighbors live in the query's own cluster: 1 probe suffices
+    assert rec["ivf_p1"] >= 0.9, rec
+    assert rec["ivf_p4"] >= 0.9, rec
+    # LSH: cluster members share hyperplane signs; multi-probe must be
+    # high and strictly better than (or equal to) single-bucket
+    assert rec["lsh_mp1"] >= 0.6, rec
+    assert rec["lsh_mp1"] >= rec["lsh_mp0"]

@@ -361,3 +361,26 @@ def test_salted_join_rejects_outer_modes(spark):
             salted_join(big, small, ["conv_id"], salt_from="turn_idx", how=how)
     # allowed modes still run
     assert salted_join(big, small, ["conv_id"], salt_from="turn_idx", how="left").count() == 1
+
+
+def test_weighted_reservoir_bias_and_determinism(spark):
+    """A-ES sampling: heavy items dominate the sample in proportion to
+    weight; result is deterministic across parallelism and exactly k."""
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        weighted_reservoir_sample,
+    )
+
+    rows = [(i, 100.0 if i < 500 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    got = weighted_reservoir_sample(df, 100, "weight")
+    ids = sorted(r["doc_id"] for r in got.collect())
+    assert len(ids) == 100 and len(set(ids)) == 100
+    heavy = sum(1 for i in ids if i < 500)
+    # E[heavy] ≈ 97 of 100 at 100:1 weights; far above any noise floor
+    assert heavy >= 85, heavy
+
+    again = sorted(
+        r["doc_id"]
+        for r in weighted_reservoir_sample(df.repartition(13), 100, "weight").collect()
+    )
+    assert again == ids

@@ -229,6 +229,7 @@ def test_new_queries_no_python_nodes(spark):
                  "events_sessionize_window", "cms_user_counts",
                  "hll_distinct_users", "alert_sustained_utilization",
                  "counter_rate", "cube_orders", "events_hourly_rollup",
-                 "stratified_sample"):
+                 "stratified_sample", "ann_recall", "weighted_reservoir",
+                 "tdigest_value_quantiles"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
