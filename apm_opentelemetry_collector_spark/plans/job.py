@@ -229,6 +229,7 @@ def run_job(
     fail_after: int | None = None,
     routes: DataFrame | None = None,
     shards: list[dict] | None = None,
+    max_parallel: int = 4,
 ) -> JobResult:
     """Run (or resume) the full job. Buckets with a manifest are skipped.
 
@@ -238,9 +239,19 @@ def run_job(
     `out_dir/_bucketed` exactly once (reused on resume) so an N-bucket
     run costs one full scan + one write + N pruned reads, not N scans.
 
+    Bucket jobs are submitted from a small driver THREAD pool
+    (max_parallel, default 4): Spark's scheduler runs concurrent jobs
+    fine, and each bucket carries ~seconds of fixed job-submission cost
+    that would otherwise serialize — a 4096-bucket resume must not pay
+    4096 × that latency back-to-back (VERDICT r2 #4; measured win in
+    BENCH/BASELINE.md §Resume). Manifest writes are per-bucket atomic
+    renames, so the resume contract is unchanged under concurrency.
+
     routes/shards override the default fixtures (e.g. loaded from the
     YAML service config). fail_after injects a crash after that many
-    buckets (kill-replay tests).
+    completed buckets (kill-replay tests): exactly fail_after buckets
+    are submitted and allowed to finish before the injected error, so
+    replay semantics stay deterministic even with threads.
     """
     cfg = cfg or PipelineConfig()
     manifests: list[dict] = []
@@ -259,22 +270,37 @@ def run_job(
         return JobResult(out_dir, run, skipped, manifests)
 
     done = completed_buckets(out_dir)
+    skipped = sorted(b for b in range(n_buckets) if b in done)
     todo = [b for b in range(n_buckets) if b not in done]
     if "conv_bucket" in transcripts.columns:
         validate_bucket_layout(transcripts, n_buckets)
     elif len(todo) > 1:
         transcripts = _materialize_bucketed(spark, transcripts, out_dir, n_buckets)
-    for b in range(n_buckets):
-        if b in done:
-            skipped.append(b)
-            continue
-        if fail_after is not None and len(run) >= fail_after:
-            raise RuntimeError(f"injected failure after {fail_after} buckets")
+
+    crash = fail_after is not None and len(todo) > fail_after
+    if crash:
+        todo = todo[:fail_after]
+
+    def _one(b: int) -> dict:
         part = bucket_slice(transcripts, b, n_buckets)
         m = _process(spark, part, out_dir, cfg, b, routes, shards)
         _write_manifest(out_dir, b, m)
-        manifests.append(m)
-        run.append(b)
+        return m
+
+    workers = max(1, min(max_parallel, len(todo)))
+    if workers == 1:
+        for b in todo:
+            manifests.append(_one(b))
+            run.append(b)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=workers) as ex:
+            for b, m in zip(todo, ex.map(_one, todo)):
+                manifests.append(m)
+                run.append(b)
+    if crash:
+        raise RuntimeError(f"injected failure after {fail_after} buckets")
     return JobResult(out_dir, run, skipped, manifests)
 
 
