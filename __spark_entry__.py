@@ -940,6 +940,26 @@ def q_tdigest_value_quantiles(spark, sf_dir):
     return out.select("event_type", "q", F.round("est", 6).alias("est"))
 
 
+TUNE_TARGET_RECALL = 0.5
+TUNE_CANDIDATES = (1, 2, 4, 8)
+
+
+def q_tune_n_probe(spark, sf_dir):
+    """Recall-driven knob tuning: the smallest IVF n_probe whose
+    recall@10 on the query sample meets TUNE_TARGET_RECALL (else the
+    highest-recall candidate). One row: n_probe, n_hits, n_true, recall."""
+    from apm_opentelemetry_collector_spark.operators.similarity import tune_n_probe
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return tune_n_probe(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        target_recall=TUNE_TARGET_RECALL,
+        candidates=TUNE_CANDIDATES,
+        k=10,
+    )
+
+
 def q_ann_recall(spark, sf_dir):
     """Recall@10 of each ANN variant (IVF n_probe 1/2/4, LSH multi-probe
     off/on) vs exact brute force — the tuning metric for the approximate
@@ -984,6 +1004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # --- new in r3 ------------------------------------------------------
         "ann_recall": q_ann_recall,
+        "tune_n_probe": q_tune_n_probe,
         "weighted_reservoir": q_weighted_reservoir,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
@@ -1444,6 +1465,28 @@ SELECT method, n_hits,
 FROM hits"""
 
 
+def _tune_n_probe_sql(k: int = 10) -> str:
+    cand = " UNION ALL ".join(
+        f"""SELECT {p} AS n_probe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ({_ivf_sql(k=k, n_probe=p)}) a JOIN bf USING (query_id, neighbor_id)"""
+        for p in TUNE_CANDIDATES
+    )
+    return f"""
+WITH bf AS (SELECT query_id, neighbor_id FROM ({_knn_sql(k=k)})),
+cand AS ({cand}),
+scored AS (
+  SELECT n_probe, n_hits,
+         CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_true,
+         round(n_hits * 1.0 / (SELECT count(*) FROM bf), 6) AS recall
+  FROM cand
+)
+SELECT n_probe, n_hits, n_true, recall FROM scored
+ORDER BY (CASE WHEN recall >= {TUNE_TARGET_RECALL} THEN 0 ELSE 1 END),
+         (CASE WHEN recall >= {TUNE_TARGET_RECALL} THEN n_probe ELSE -recall END),
+         n_probe
+LIMIT 1"""
+
+
 def _wrs_sql() -> str:
     from apm_opentelemetry_collector_spark.operators.sample import u48_sql
 
@@ -1877,6 +1920,7 @@ JOIN documents da ON da.doc_id = p.id_a
 JOIN documents db ON db.doc_id = p.id_b
 WHERE da.source <> db.source""",
         "ann_recall": _ann_recall_sql(),
+        "tune_n_probe": _tune_n_probe_sql(),
         "weighted_reservoir": _wrs_sql(),
         # tdigest_value_quantiles: rows-only by design (deterministic
         # digest, not SQL-expressible; pytest asserts rank tolerance vs

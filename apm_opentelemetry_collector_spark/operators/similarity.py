@@ -163,6 +163,59 @@ def ann_recall(
     )
 
 
+def tune_n_probe(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    target_recall: float = 0.5,
+    candidates: tuple[int, ...] = (1, 2, 4, 8),
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pick the smallest IVF n_probe meeting a recall target on a sampled
+    query set — how a user actually chooses the knob. Returns ONE row:
+    n_probe, n_hits, n_true, recall (the chosen setting; if no candidate
+    reaches the target, the highest-recall/widest candidate).
+
+    Lazy composition like ann_recall: per-candidate 1-row hit counts vs
+    brute force, then a deterministic pick (meets-target first, then
+    smallest n_probe). On a cluster you run this on a SAMPLE of queries,
+    then deploy the chosen n_probe for the full workload.
+    """
+    from functools import reduce
+
+    from ..functions.vectors import brute_force_knn
+
+    bf_pairs = brute_force_knn(
+        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    per = [
+        ivf_knn(embeddings, queries, k=k, n_probe=p, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .join(bf_pairs, ["query_id", "neighbor_id"])
+        .agg(F.count("*").cast("bigint").alias("n_hits"))
+        .select(F.lit(p).alias("n_probe"), "n_hits")
+        for p in candidates
+    ]
+    n_true = bf_pairs.agg(F.count("*").cast("bigint").alias("n_true"))
+    scored = (
+        reduce(DataFrame.unionByName, per)
+        .crossJoin(n_true)
+        .withColumn("recall", F.round(F.col("n_hits") / F.col("n_true"), 6))
+    )
+    return (
+        scored.orderBy(
+            F.when(F.col("recall") >= target_recall, 0).otherwise(1).asc(),
+            F.when(F.col("recall") >= target_recall, F.col("n_probe")).otherwise(
+                -F.col("recall")
+            ).asc(),
+            F.col("n_probe").asc(),  # deterministic on recall ties
+        )
+        .limit(1)
+        .select("n_probe", "n_hits", "n_true", "recall")
+    )
+
+
 # --- hyperplane (random-projection) LSH ANN ---------------------------------
 #
 # The LSH-bucketed scale path alongside IVF: P signed random projections

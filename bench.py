@@ -98,6 +98,10 @@ def main() -> None:
         "lsh_knn",
         "asof_last_event",
         "metrics_resample",
+        # r3 additions
+        "ann_recall",
+        "weighted_reservoir",
+        "tdigest_value_quantiles",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

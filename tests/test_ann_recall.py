@@ -73,3 +73,17 @@ def test_high_recall_on_planted_clusters(spark):
     # high and strictly better than (or equal to) single-bucket
     assert rec["lsh_mp1"] >= 0.6, rec
     assert rec["lsh_mp1"] >= rec["lsh_mp0"]
+
+
+def test_tune_n_probe_picks_smallest_sufficient(spark):
+    from apm_opentelemetry_collector_spark.operators.similarity import tune_n_probe
+
+    emb = _clustered_embeddings(spark)
+    qs = emb.filter(F.col("vec_id") % 60 == 0)
+    # planted clusters: 1 probe already exceeds 0.9 → must pick 1
+    row = tune_n_probe(emb, qs, target_recall=0.9, candidates=(1, 2, 4), k=10).collect()
+    assert len(row) == 1 and row[0]["n_probe"] == 1 and row[0]["recall"] >= 0.9
+
+    # unreachable target → widest/highest-recall candidate wins
+    row = tune_n_probe(emb, qs, target_recall=1.01, candidates=(1, 2), k=10).collect()[0]
+    assert row["n_probe"] in (1, 2) and row["recall"] <= 1.0
