@@ -45,17 +45,36 @@ class MinHashConfig:
     """Banding parameters. The defaults are the CI-scale setting the
     DuckDB oracle mirrors (8 hashes / 2 bands); PRODUCTION is the
     128-hash / 32-band configuration for real corpora — same plan shape,
-    just wider signatures (candidate probability 1-(1-J^4)^32)."""
+    just wider signatures (candidate probability 1-(1-J^4)^32).
+
+    distinct_scope picks WHERE shingle set-dedup happens (results are
+    identical — equality-tested):
+      - "corpus": one distinct() over the whole shingle table, shared by
+        signatures and verify. Locally FASTER (measured 14.2 s vs 22.4 s
+        at sf0.1, interleaved minima — everything is memory-local, so
+        the single shared shuffle beats the extra operators).
+      - "candidates": signatures run on RAW shingles (min over a
+        multiset = min over its set; map-side combinable, so the
+        shuffle is |docs|×n_hashes signature rows, NOT the full shingle
+        text), and distinct() touches only candidate docs' shingles.
+        At cluster scale the corpus-wide shingle distinct is the
+        largest shuffle in the operator (~5× corpus bytes over the
+        network); this scope removes it, which is why PRODUCTION uses
+        it despite the local measurement.
+    """
 
     n_hashes: int = N_HASHES
     n_bands: int = N_BANDS
     est_min: float = EST_MIN
+    distinct_scope: str = "corpus"
 
     def __post_init__(self) -> None:
         if self.n_hashes % self.n_bands:
             raise ValueError(
                 f"n_hashes={self.n_hashes} not divisible by n_bands={self.n_bands}"
             )
+        if self.distinct_scope not in ("corpus", "candidates"):
+            raise ValueError(f"distinct_scope={self.distinct_scope!r}")
 
     @property
     def rows_per_band(self) -> int:
@@ -63,7 +82,9 @@ class MinHashConfig:
 
 
 CI_BANDING = MinHashConfig()
-PRODUCTION_BANDING = MinHashConfig(n_hashes=128, n_bands=32)
+PRODUCTION_BANDING = MinHashConfig(
+    n_hashes=128, n_bands=32, distinct_scope="candidates"
+)
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -80,16 +101,29 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
-def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct character 5-gram shingles of the normalized text.
+def shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = True,
+) -> DataFrame:
+    """Character 5-gram shingles of the normalized text.
 
     Output: id, shingle. Docs shorter than SHINGLE_LEN yield no rows.
+
+    distinct=True gives set semantics (needed by the Jaccard verify);
+    distinct=False skips the corpus-wide dedup SHUFFLE and stays purely
+    map-side — correct wherever duplicates don't change the answer
+    (minhash signatures: min over a multiset = min over its set). At
+    100 TB that distinct is the largest shuffle in the whole operator,
+    so minhash_lsh_dedup runs on raw shingles and dedups only the
+    candidate docs' shingles.
     """
     norm = normalized(text_col)
     base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
         F.length("norm") >= SHINGLE_LEN
     )
-    return (
+    out = (
         base.select(
             "id",
             F.explode(
@@ -98,8 +132,8 @@ def shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
             "norm",
         )
         .select("id", F.substring(F.col("norm"), F.col("i"), F.lit(SHINGLE_LEN)).alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(sh: DataFrame, cfg: MinHashConfig = CI_BANDING) -> DataFrame:
@@ -226,25 +260,43 @@ def minhash_lsh_dedup(
     PRODUCTION_BANDING (128/32) for real corpora — same plan, wider
     signatures.
 
-    The shingle table feeds four downstream consumers (signatures, sizes,
-    and both sides of the intersection join); persist it so the
-    explode+distinct shuffle runs once. The result is checkpointed to
+    Shuffle discipline: cfg.distinct_scope picks where shingle set-dedup
+    happens (see MinHashConfig — "corpus" is locally faster and the CI
+    default; "candidates" removes the corpus-wide distinct shuffle, the
+    operator's largest at cluster scale, and is the PRODUCTION setting;
+    results are identical and equality-tested). The shingle table is
+    persisted across its consumers; the result is checkpointed to
     STORAGE (reliable checkpoint, not localCheckpoint) before the
     unpersist: the materialized output lives in the checkpoint dir, not
     pinned in executor memory, and survives executor loss — the behavior
     you want when the shingle intermediate is TBs.
     """
-    sh = shingles(docs, text_col, id_col).persist()
-    out = pairs = None
+    corpus_scope = cfg.distinct_scope == "corpus"
+    sh = shingles(docs, text_col, id_col, distinct=corpus_scope).persist()
+    out = pairs = sh_cand = None
     try:
         sig = minhash_signatures(sh, cfg)
         # pairs feeds jaccard() twice (intersection join + final left
-        # join); persist the tiny candidate table so band generation +
-        # prefilter run once, not per consumer
+        # join) plus the candidate-id set; persist the tiny candidate
+        # table so band generation + prefilter run once, not per consumer
         pairs = estimate_filter(
             candidate_pairs(lsh_bands(sig, cfg)), sig, cfg
         ).persist()
-        out = jaccard(pairs, sh).filter(F.col("jaccard") >= threshold)
+        if corpus_scope:
+            sh_verify = sh
+        else:
+            cand_ids = (
+                pairs.select(F.col("id_a").alias("id"))
+                .union(pairs.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            # set-semantics shingles for candidates only: the semi-join
+            # side is small (bounded by 2×|pairs|) → map-side filter +
+            # distinct over the surviving slice. Persisted: jaccard()
+            # consumes it three times (both intersection sides + sizes).
+            sh_cand = sh.join(cand_ids, "id", "left_semi").distinct().persist()
+            sh_verify = sh_cand
+        out = jaccard(pairs, sh_verify).filter(F.col("jaccard") >= threshold)
         sc = docs.sparkSession.sparkContext
         if sc.getCheckpointDir() is None:
             # point at durable shared storage on a real cluster; a scratch
@@ -264,6 +316,8 @@ def minhash_lsh_dedup(
     finally:
         if out is not None:
             out.unpersist()
+        if sh_cand is not None:
+            sh_cand.unpersist()
         if pairs is not None:
             pairs.unpersist()
         sh.unpersist()

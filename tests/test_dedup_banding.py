@@ -123,3 +123,29 @@ def test_lsh_knn_prunes_and_finds_close_neighbors(spark):
     for r in hyperplane_lsh_knn(emb, q, k=1).collect():
         floor_cos = exact[(r["query_id"], 10)]
         assert r["cos"] >= floor_cos, r
+
+
+def test_distinct_scope_equality(spark):
+    """The two shuffle plans (corpus-wide distinct vs candidate-scoped
+    distinct with raw-shingle signatures) must produce IDENTICAL pairs —
+    min over a multiset equals min over its set, and Jaccard only ever
+    sees set-deduped candidate shingles."""
+    docs = _corpus(spark)
+    key = lambda df: {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in df.collect()
+    }
+    for base in (CI_BANDING, PRODUCTION_BANDING):
+        a = minhash_lsh_dedup(
+            docs, THRESHOLD,
+            cfg=MinHashConfig(base.n_hashes, base.n_bands, base.est_min, "corpus"),
+        )
+        b = minhash_lsh_dedup(
+            docs, THRESHOLD,
+            cfg=MinHashConfig(base.n_hashes, base.n_bands, base.est_min, "candidates"),
+        )
+        assert key(a) == key(b) and len(key(a)) > 0
+
+
+def test_distinct_scope_validates():
+    with pytest.raises(ValueError, match="distinct_scope"):
+        MinHashConfig(distinct_scope="nope")
