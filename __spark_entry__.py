@@ -940,6 +940,26 @@ def q_tdigest_value_quantiles(spark, sf_dir):
     return out.select("event_type", "q", F.round("est", 6).alias("est"))
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Distributed k-means (2 Lloyd rounds, deterministic lowest-id
+    seeding): the iterative-algorithm representative — broadcast
+    centroids, exact-decimal means, squared-L2 composed in the oracle's
+    operation order so the whole trajectory bit-matches the unrolled-CTE
+    DuckDB twin."""
+    from apm_opentelemetry_collector_spark.operators.clustering import kmeans_assign
+
+    return kmeans_assign(_load(spark, sf_dir, "embeddings"))
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-5 terms per source by TF-IDF (tf × ln(N/df), shared regex and
+    op order with the SQL twin). One tokenize pass, map-side-combinable
+    aggregates, WindowGroupLimit top-n."""
+    from apm_opentelemetry_collector_spark.functions.text import tfidf_top_terms
+
+    return tfidf_top_terms(_load(spark, sf_dir, "documents"))
+
+
 TUNE_TARGET_RECALL = 0.5
 TUNE_CANDIDATES = (1, 2, 4, 8)
 
@@ -1006,6 +1026,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_recall": q_ann_recall,
         "tune_n_probe": q_tune_n_probe,
         "weighted_reservoir": q_weighted_reservoir,
+        "kmeans_assign": q_kmeans_assign,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
@@ -1037,7 +1059,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_resample": q_metrics_resample,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_window": q_events_sessionize_window,
-        # training-data ops (documents/embeddings)
+        # training-data ops (documents/embeddings); minhash leads — its
+        # module changed in r3 (distinct_scope) and must stay inside the
+        # driver's 50-query window
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
@@ -1046,7 +1071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "knn_bruteforce": q_knn_bruteforce,
-        "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash": q_simhash,
         "ngram_jaccard_same_source": q_ngram_jaccard_same_source,
         # --- past the driver's 50-query window: r2-hash-verified, static ----
@@ -1487,6 +1511,55 @@ ORDER BY (CASE WHEN recall >= {TUNE_TARGET_RECALL} THEN 0 ELSE 1 END),
 LIMIT 1"""
 
 
+def _kmeans_sql(k: int | None = None, iters: int | None = None, dim: int = 64) -> str:
+    """Unrolled-CTE twin of operators/clustering.kmeans_assign: the same
+    fixed Lloyd rounds — lowest-id seeding, squared-L2 nearest (ties to
+    the lower cluster), exact-decimal centroid means — iteration i's
+    assignment CTE a{i} feeds means m{i}/centroids c{i} feeds a{i+1}."""
+    from apm_opentelemetry_collector_spark.operators.clustering import (
+        KMEANS_ITERS,
+        KMEANS_K,
+    )
+
+    k = k or KMEANS_K
+    iters = iters or KMEANS_ITERS
+    d2 = (
+        "(list_dot_product(p.v, p.v) + list_dot_product(c.c, c.c)"
+        " - 2.0 * list_dot_product(p.v, c.c))"
+    )
+    ctes = [
+        "pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cluster, v AS c
+  FROM (SELECT id, v FROM pts ORDER BY id ASC LIMIT {k})
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT id, v, cluster FROM (
+    SELECT p.id, p.v, c.cluster,
+           row_number() OVER (PARTITION BY p.id ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM pts p, c{i - 1} c
+  ) WHERE rn = 1
+)"""
+        )
+        if i < iters:
+            ctes.append(
+                f"""m{i} AS (
+  SELECT cluster, CAST(j AS INTEGER) AS pos,
+         CAST(sum(CAST(v[CAST(j AS INTEGER) + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+  FROM a{i}, range(0, {dim}) t(j) GROUP BY cluster, pos
+)""",
+            )
+            ctes.append(
+                f"c{i} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM m{i} GROUP BY cluster)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id AS vec_id, cluster FROM a{iters}"
+    )
+
+
 def _wrs_sql() -> str:
     from apm_opentelemetry_collector_spark.operators.sample import u48_sql
 
@@ -1922,6 +1995,8 @@ WHERE da.source <> db.source""",
         "ann_recall": _ann_recall_sql(),
         "tune_n_probe": _tune_n_probe_sql(),
         "weighted_reservoir": _wrs_sql(),
+        "kmeans_assign": _kmeans_sql(),
+        "tfidf_top_terms": textfn.tfidf_top_terms_sql(),
         # tdigest_value_quantiles: rows-only by design (deterministic
         # digest, not SQL-expressible; pytest asserts rank tolerance vs
         # DuckDB exact quantiles + repartition invariance)

@@ -197,3 +197,94 @@ def lang_id_sql(col: str) -> str:
     )
     # DuckDB lacks lateral column alias in same select; inline _best
     return f"(CASE {whens} ELSE 'und' END)".replace("_best", f"({best})")
+
+
+# --- TF-IDF ------------------------------------------------------------------
+TFIDF_TOKEN_RE = "[a-z]{2,}"  # lowercase alpha runs, len >= 2
+
+
+def tfidf_top_terms(
+    docs,
+    top_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+):
+    """Top-n terms per group by TF-IDF: tf(term in group) × ln(N/df).
+
+    One tokenize pass feeds both aggregates (term frequency per group,
+    document frequency per term); N is a lazy 1-row aggregate
+    cross-joined in (no driver action). Score arithmetic keeps the
+    exact operation order of the SQL twin (tf * ln(N/df), integer÷
+    integer promoted to double in both engines) so selection and the
+    rounded output bit-match. Output: group_col, term, tf, df,
+    tfidf (rounded 6dp); ≤ top_n rows per group (score desc, term asc).
+
+    Scale: tokenize is map-side; tf and df are map-side-combinable
+    aggregates on uniform term keys; the final top-n is a per-group
+    WindowGroupLimit — no corpus-sized state anywhere.
+    """
+    from pyspark.sql import DataFrame, Window
+
+    toks = docs.select(
+        F.col(group_col),
+        F.col(id_col).alias("_doc"),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TFIDF_TOKEN_RE), 0)
+        ).alias("term"),
+    )
+    tf = toks.groupBy(group_col, "term").agg(F.count("*").cast("bigint").alias("tf"))
+    df_ = (
+        toks.select("_doc", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").cast("bigint").alias("_n"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_score").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_, "term")
+        .crossJoin(n_docs)
+        .withColumn("_score", F.col("tf") * F.log(F.col("_n") / F.col("df")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .select(
+            group_col, "term", "tf", "df", F.round("_score", 6).alias("tfidf")
+        )
+    )
+
+
+def tfidf_top_terms_sql(
+    top_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of tfidf_top_terms (same regex, same score order)."""
+    return f"""
+WITH toks AS (
+  SELECT {group_col}, {id_col} AS _doc, unnest(
+    regexp_extract_all(lower({text_col}), '{TFIDF_TOKEN_RE}')
+  ) AS term
+  FROM {table}
+), tf AS (
+  SELECT {group_col}, term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY {group_col}, term
+), df AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT _doc, term FROM toks) GROUP BY term
+), n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM {table}
+), scored AS (
+  SELECT tf.{group_col}, tf.term, tf.tf, df.df,
+         tf.tf * ln(n._n / df.df) AS _score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY {group_col} ORDER BY _score DESC, term ASC
+  ) AS _rn FROM scored
+)
+SELECT {group_col}, term, tf, df, round(_score, 6) AS tfidf
+FROM ranked WHERE _rn <= {top_n}"""

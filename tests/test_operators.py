@@ -384,3 +384,39 @@ def test_weighted_reservoir_bias_and_determinism(spark):
         for r in weighted_reservoir_sample(df.repartition(13), 100, "weight").collect()
     )
     assert again == ids
+
+
+def test_kmeans_deterministic_and_partitions_points(spark):
+    """Lloyd assignment: every point exactly once, deterministic across
+    parallelism, clusters converge on the planted structure."""
+    from apm_opentelemetry_collector_spark.operators.clustering import (
+        kmeans_assign,
+        kmeans_sizes,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    a = {r["vec_id"]: r["cluster"] for r in kmeans_assign(emb).collect()}
+    b = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_assign(emb.repartition(7)).collect()
+    }
+    assert a == b and len(a) == emb.count()
+    sizes = {r["cluster"]: r["n_points"] for r in kmeans_sizes(emb).collect()}
+    assert sum(sizes.values()) == len(a) and len(sizes) >= 2
+
+
+def test_tfidf_prefers_group_specific_terms(spark):
+    from apm_opentelemetry_collector_spark.functions.text import tfidf_top_terms
+
+    rows = (
+        [(i, "alpha beta common words here", "s1") for i in range(20)]
+        + [(100 + i, "gamma delta common words here", "s2") for i in range(20)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    top = {
+        (r["source"], r["term"]) for r in tfidf_top_terms(docs, top_n=2).collect()
+    }
+    # group-exclusive terms outrank corpus-wide ones (ln(N/df)=0 for
+    # terms in every doc)
+    assert ("s1", "alpha") in top and ("s1", "beta") in top
+    assert ("s2", "gamma") in top and ("s2", "delta") in top

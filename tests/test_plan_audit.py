@@ -230,6 +230,7 @@ def test_new_queries_no_python_nodes(spark):
                  "hll_distinct_users", "alert_sustained_utilization",
                  "counter_rate", "cube_orders", "events_hourly_rollup",
                  "stratified_sample", "ann_recall", "weighted_reservoir",
-                 "tdigest_value_quantiles", "tune_n_probe"):
+                 "tdigest_value_quantiles", "tune_n_probe", "kmeans_assign",
+                 "tfidf_top_terms"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
