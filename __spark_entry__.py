@@ -960,6 +960,17 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_load(spark, sf_dir, "documents"))
 
 
+def q_dedup_components(spark, sf_dir):
+    """Near-dup GROUPS from minhash pairs: connected components via
+    min-label propagation (fixed rounds, unrolled-CTE oracle twin).
+    Output: id, component (= min doc id of the group) — the table a
+    curation pass joins against to keep one canonical doc per group."""
+    from apm_opentelemetry_collector_spark.operators.dedup import dedup_components
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_components(dd.minhash_lsh_dedup(docs, threshold=0.5))
+
+
 TUNE_TARGET_RECALL = 0.5
 TUNE_CANDIDATES = (1, 2, 4, 8)
 
@@ -1028,6 +1039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_reservoir": q_weighted_reservoir,
         "kmeans_assign": q_kmeans_assign,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "dedup_components": q_dedup_components,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
@@ -1509,6 +1521,35 @@ ORDER BY (CASE WHEN recall >= {TUNE_TARGET_RECALL} THEN 0 ELSE 1 END),
          (CASE WHEN recall >= {TUNE_TARGET_RECALL} THEN n_probe ELSE -recall END),
          n_probe
 LIMIT 1"""
+
+
+def _components_sql(iters: int | None = None) -> str:
+    """Unrolled twin of operators/dedup.dedup_components over the
+    minhash near-dup pairs: round i's labels l{i} = LEAST(own label,
+    min over direct neighbors' labels)."""
+    from apm_opentelemetry_collector_spark.operators.dedup import CC_ITERS
+
+    iters = iters or CC_ITERS
+    # MATERIALIZED: each round references the previous one twice — an
+    # inlined CTE chain would re-evaluate the minhash subquery 2^iters
+    # times (the same blowup the Spark side prevents with per-round
+    # checkpoints)
+    ctes = [
+        f"pairs AS MATERIALIZED (SELECT id_a, id_b FROM ({_minhash_sql(0.5)}))",
+        "sym AS MATERIALIZED (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs)",
+        "l0 AS MATERIALIZED (SELECT DISTINCT id_a AS id, id_a AS comp FROM sym)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT l.id, LEAST(l.comp, COALESCE(n.m, l.comp)) AS comp
+  FROM l{i - 1} l LEFT JOIN (
+    SELECT s.id_a AS id, min(p.comp) AS m
+    FROM sym s JOIN l{i - 1} p ON p.id = s.id_b GROUP BY s.id_a
+  ) n ON n.id = l.id
+)"""
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT id, comp AS component FROM l{iters}"
 
 
 def _kmeans_sql(k: int | None = None, iters: int | None = None, dim: int = 64) -> str:
@@ -1997,6 +2038,7 @@ WHERE da.source <> db.source""",
         "weighted_reservoir": _wrs_sql(),
         "kmeans_assign": _kmeans_sql(),
         "tfidf_top_terms": textfn.tfidf_top_terms_sql(),
+        "dedup_components": _components_sql(),
         # tdigest_value_quantiles: rows-only by design (deterministic
         # digest, not SQL-expressible; pytest asserts rank tolerance vs
         # DuckDB exact quantiles + repartition invariance)

@@ -353,6 +353,69 @@ def cross_source_contamination(
     )
 
 
+CC_ITERS = 6
+
+
+def dedup_components(pairs: DataFrame, iters: int = CC_ITERS) -> DataFrame:
+    """Connected components over near-dup pairs — the step that turns
+    pairwise matches into DEDUP GROUPS (keep the min id per component,
+    drop the rest). Min-label propagation: every node starts labeled
+    with its own id; each round takes the min over direct neighbors'
+    labels; the component minimum floods one hop per round, so `iters`
+    rounds converge for any component of diameter ≤ iters (near-dup
+    groups are near-cliques — diameter 2-3 in practice; production
+    would use large-star/small-star for billion-edge graphs, same
+    output contract).
+
+    Deterministic and engine-exact: the unrolled rounds have a DuckDB
+    twin (__spark_entry__._components_sql) built from the same loop
+    (MATERIALIZED CTEs there, for the same reason as the checkpoints
+    here). Output: id, component (min reachable id within iters hops).
+
+    Iteration discipline: each round references the previous labels
+    TWICE (own label + the neighbor-min join), so a fully lazy unroll
+    doubles the lineage per round — 2^iters recomputation. Every round
+    is therefore materialized (localCheckpoint: the label table is
+    |nodes| rows of two ids — small even when the corpus is not; a
+    reliable storage checkpoint per round is the swap for graphs where
+    it isn't).
+    """
+    edges = pairs.select("id_a", "id_b")
+    sym = edges.union(
+        edges.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = (
+        sym.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("id_b"), F.col("comp").alias("nbr_comp")
+                ),
+                "id_b",
+            )
+            .groupBy("id_a")
+            .agg(F.min("nbr_comp").alias("nbr_min"))
+            .select(F.col("id_a").alias("id"), "nbr_min")
+        )
+        labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels.select("id", F.col("comp").alias("component"))
+
+
 # --- SimHash ---------------------------------------------------------------
 SIMHASH_BITS = 16  # 4 md5 hex nibbles; production would use 64
 

@@ -420,3 +420,19 @@ def test_tfidf_prefers_group_specific_terms(spark):
     # terms in every doc)
     assert ("s1", "alpha") in top and ("s1", "beta") in top
     assert ("s2", "gamma") in top and ("s2", "delta") in top
+
+
+def test_dedup_components_chain_and_cliques(spark):
+    """Min-label propagation: a 5-node chain (diameter 4 < CC_ITERS)
+    collapses to its min id; disjoint pairs stay separate components."""
+    from apm_opentelemetry_collector_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert {comp[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+    assert len(comp) == 10

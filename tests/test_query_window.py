@@ -26,7 +26,7 @@ MUST_BE_IN_WINDOW = {
     "record_encode_stats", "multimodal_features",
     # new in r3
     "ann_recall", "tune_n_probe", "weighted_reservoir", "kmeans_assign",
-    "tfidf_top_terms", "tdigest_value_quantiles",
+    "tfidf_top_terms", "tdigest_value_quantiles", "dedup_components",
     # implementation touched in r3 (distinct_scope)
     "minhash_lsh_neardup",
 }
