@@ -102,6 +102,8 @@ def main() -> None:
         "ann_recall",
         "weighted_reservoir",
         "tdigest_value_quantiles",
+        "kmeans_assign",
+        "tfidf_top_terms",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
