@@ -971,6 +971,33 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(dd.minhash_lsh_dedup(docs, threshold=0.5))
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Contamination-aware train/val/test split: fold = consistent hash
+    of the duplicate-group FINGERPRINT (not the row id), so exact dups
+    always share a fold. Weights dict renders into both engines."""
+    from apm_opentelemetry_collector_spark.functions.text import fingerprint
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        leakage_safe_split,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", leakage_safe_split(fingerprint("text")).alias("split")
+    )
+
+
+def q_robust_outliers(spark, sf_dir):
+    """Median/MAD modified z-score outliers of events.value per
+    event_type (Iglewicz–Hoban, |z| > 3.5) — robust quality filtering
+    with exact percentile parity (Spark percentile ≡ quantile_cont)."""
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        robust_zscore_outliers,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    return robust_zscore_outliers(ev, "value", ["event_type"], ["event_id"])
+
+
 TUNE_TARGET_RECALL = 0.5
 TUNE_CANDIDATES = (1, 2, 4, 8)
 
@@ -1040,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "tfidf_top_terms": q_tfidf_top_terms,
         "dedup_components": q_dedup_components,
+        "leakage_safe_split": q_leakage_safe_split,
+        "robust_outliers": q_robust_outliers,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
@@ -1601,6 +1630,14 @@ def _kmeans_sql(k: int | None = None, iters: int | None = None, dim: int = 64) -
     )
 
 
+def _outliers_sql() -> str:
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        robust_zscore_sql,
+    )
+
+    return robust_zscore_sql("events", "value", "event_type", "event_id")
+
+
 def _wrs_sql() -> str:
     from apm_opentelemetry_collector_spark.operators.sample import u48_sql
 
@@ -2039,6 +2076,10 @@ WHERE da.source <> db.source""",
         "kmeans_assign": _kmeans_sql(),
         "tfidf_top_terms": textfn.tfidf_top_terms_sql(),
         "dedup_components": _components_sql(),
+        "leakage_safe_split": f"""
+SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
+FROM documents""",
+        "robust_outliers": _outliers_sql(),
         # tdigest_value_quantiles: rows-only by design (deterministic
         # digest, not SQL-expressible; pytest asserts rank tolerance vs
         # DuckDB exact quantiles + repartition invariance)

@@ -116,6 +116,56 @@ def u48_sql(id_expr: str) -> str:
     return f"(({terms}) + 0.5) / {float(1 << 48)!r}"
 
 
+SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def leakage_safe_split(
+    key: F.Column,
+    weights: dict[str, float] | None = None,
+) -> F.Column:
+    """Train/val/test fold label from a consistent hash of `key`.
+
+    Leakage safety comes from CHOOSING the key: hash the duplicate-group
+    fingerprint (or a near-dup component id from dedup_components), not
+    the row id, and every duplicate of a document lands in the SAME
+    fold — the split a contamination-aware pipeline needs. Weights are
+    cumulative 16-bit thresholds, deterministic across replays; the
+    dict renders into the SQL twin (split_case_sql) — single source of
+    truth.
+    """
+    weights = weights or SPLIT_WEIGHTS
+    if abs(sum(weights.values()) - 1.0) > 1e-9:
+        raise ValueError("split weights must sum to 1")
+    p16 = F.conv(F.substring(F.md5(key.cast("binary")), 1, 4), 16, 10).cast("bigint")
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        thr = int(acc * 65536)
+        expr = F.when(p16 < thr, name) if expr is None else expr.when(p16 < thr, name)
+    last = items[-1][0]
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def split_case_sql(key_sql: str, weights: dict[str, float] | None = None) -> str:
+    """DuckDB twin of leakage_safe_split (same thresholds, same md5 p16)."""
+    weights = weights or SPLIT_WEIGHTS
+    p16 = (
+        f"((instr('0123456789abcdef', substr(md5({key_sql}), 1, 1)) - 1) * 4096"
+        f" + (instr('0123456789abcdef', substr(md5({key_sql}), 2, 1)) - 1) * 256"
+        f" + (instr('0123456789abcdef', substr(md5({key_sql}), 3, 1)) - 1) * 16"
+        f" + (instr('0123456789abcdef', substr(md5({key_sql}), 4, 1)) - 1))"
+    )
+    items = list(weights.items())
+    acc = 0.0
+    whens = []
+    for name, w in items[:-1]:
+        acc += w
+        whens.append(f"WHEN {p16} < {int(acc * 65536)} THEN '{name}'")
+    return f"CASE {' '.join(whens)} ELSE '{items[-1][0]}' END"
+
+
 def stratified_threshold_sql(
     rates: dict[str, float], stratum_col: str = "source"
 ) -> str:

@@ -436,3 +436,53 @@ def test_dedup_components_chain_and_cliques(spark):
     assert comp[10] == comp[11] == 10
     assert comp[20] == comp[21] == comp[22] == 20
     assert len(comp) == 10
+
+
+def test_leakage_safe_split_groups_share_folds(spark):
+    """Exact duplicates (same fingerprint) must land in the SAME fold,
+    and the fold ratios must approximate the weights."""
+    from apm_opentelemetry_collector_spark.functions.text import fingerprint
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        leakage_safe_split,
+    )
+    from pyspark.sql import functions as FF
+
+    # 300 base docs, each duplicated once (whitespace/case variants
+    # normalize to the same fingerprint)
+    rows = []
+    for i in range(300):
+        rows.append((2 * i, f"Document body number {i} with content"))
+        rows.append((2 * i + 1, f"  DOCUMENT body NUMBER {i}   with CONTENT "))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = docs.select(
+        "doc_id",
+        fingerprint("text").alias("fp"),
+        leakage_safe_split(fingerprint("text")).alias("split"),
+    )
+    # same fingerprint → same split, for every group
+    n_violations = (
+        out.groupBy("fp")
+        .agg(FF.countDistinct("split").alias("k"), FF.count("*").alias("n"))
+        .filter((FF.col("k") > 1) | (FF.col("n") != 2))
+        .count()
+    )
+    assert n_violations == 0
+    frac = {
+        r["split"]: r["c"] / 600
+        for r in out.groupBy("split").agg(FF.count("*").alias("c")).collect()
+    }
+    assert 0.7 <= frac["train"] <= 0.9 and frac.get("test", 0) > 0.03
+
+
+def test_robust_outliers_flags_planted_spikes(spark):
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        robust_zscore_outliers,
+    )
+
+    rows = [(i, "g", float(50 + (i % 11))) for i in range(500)]
+    rows += [(1000, "g", 10_000.0), (1001, "g", -9_999.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    got = {r["event_id"]: r["z"] for r in
+           robust_zscore_outliers(df, "value", ["event_type"], ["event_id"]).collect()}
+    assert set(got) == {1000, 1001}
+    assert got[1000] > 3.5 and got[1001] < -3.5

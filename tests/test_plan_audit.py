@@ -231,6 +231,6 @@ def test_new_queries_no_python_nodes(spark):
                  "counter_rate", "cube_orders", "events_hourly_rollup",
                  "stratified_sample", "ann_recall", "weighted_reservoir",
                  "tdigest_value_quantiles", "tune_n_probe", "kmeans_assign",
-                 "tfidf_top_terms"):
+                 "tfidf_top_terms", "leakage_safe_split", "robust_outliers"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
