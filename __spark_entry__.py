@@ -971,6 +971,20 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(dd.minhash_lsh_dedup(docs, threshold=0.5))
 
 
+def q_video_frame_sample(spark, sf_dir):
+    """Video frame sampling: uniform-stride pick of 3 frames per fake
+    video payload, decoded in Arrow batches (mapInPandas). The payload
+    is a pure function of doc_id, so the oracle recomputes each sampled
+    frame's checksum in SQL — the decode path itself is exact-checked."""
+    from apm_opentelemetry_collector_spark.operators.multimodal import (
+        sample_frames,
+        synth_video,
+    )
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    return sample_frames(synth_video(docs))
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Contamination-aware train/val/test split: fold = consistent hash
     of the duplicate-group FINGERPRINT (not the row id), so exact dups
@@ -1069,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "leakage_safe_split": q_leakage_safe_split,
         "robust_outliers": q_robust_outliers,
+        "video_frame_sample": q_video_frame_sample,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
@@ -1630,6 +1645,38 @@ def _kmeans_sql(k: int | None = None, iters: int | None = None, dim: int = 64) -
     )
 
 
+def _frame_sample_sql() -> str:
+    """Oracle twin of sample_frames∘synth_video: frame f of doc d has
+    bytes md5('d:f')×2, so its checksum is (2·Σ md5-bytes) mod 65536 —
+    recomputable from doc_id alone, exactly like the image-features
+    oracle."""
+    from apm_opentelemetry_collector_spark.operators.multimodal import (
+        N_FRAME_SAMPLES,
+    )
+
+    n = N_FRAME_SAMPLES
+    return f"""
+WITH v AS (
+  SELECT doc_id, CAST(doc_id % 12 + 4 AS INTEGER) AS n_frames FROM documents
+), s AS (
+  SELECT doc_id, n_frames,
+         CAST((CAST(j AS INTEGER) * n_frames) // {n} AS INTEGER) AS frame_idx
+  FROM (SELECT doc_id, n_frames, unnest(range(0, {n})) AS j FROM v)
+), h AS (
+  SELECT doc_id, n_frames, frame_idx,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(frame_idx AS VARCHAR)) AS hx
+  FROM s
+), b AS (
+  SELECT doc_id, n_frames, frame_idx,
+         (instr('0123456789abcdef', substr(hx, 2*j+1, 1)) - 1) * 16
+       + (instr('0123456789abcdef', substr(hx, 2*j+2, 1)) - 1) AS byte
+  FROM (SELECT doc_id, n_frames, frame_idx, hx, unnest(range(0, 16)) AS j FROM h)
+)
+SELECT doc_id, frame_idx, n_frames,
+       CAST((2 * sum(byte)) % 65536 AS INTEGER) AS frame_checksum
+FROM b GROUP BY doc_id, frame_idx, n_frames"""
+
+
 def _outliers_sql() -> str:
     from apm_opentelemetry_collector_spark.operators.outliers import (
         robust_zscore_sql,
@@ -2080,6 +2127,7 @@ WHERE da.source <> db.source""",
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",
         "robust_outliers": _outliers_sql(),
+        "video_frame_sample": _frame_sample_sql(),
         # tdigest_value_quantiles: rows-only by design (deterministic
         # digest, not SQL-expressible; pytest asserts rank tolerance vs
         # DuckDB exact quantiles + repartition invariance)

@@ -122,6 +122,85 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     return media_df.select("doc_id", "media").mapInPandas(run, FEATURES_SCHEMA)
 
 
+# synthetic video format: b"VID0" + u16 n_frames + u16 frame_len + frames
+FAKE_VIDEO_MAGIC = b"VID0"
+FRAME_LEN = 32  # each fake frame = md5('<id>:<frame>') bytes repeated 2×
+N_FRAME_SAMPLES = 3
+
+
+def synth_video(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a deterministic fake video payload + metadata per row.
+
+    n_frames = id % 12 + 4; frame f's bytes are md5('<id>:<f>') repeated
+    2×. Entirely JVM-side expressions (the variable-length frame concat
+    is an aggregate over a transformed sequence) — a pure function of
+    the id, so the frame-sampling oracle can recompute any frame's
+    checksum in SQL without touching bytes.
+    """
+    sid = F.col(id_col).cast("string")
+    n_frames = (F.col(id_col) % 12 + 4).cast("int")
+    frames = F.transform(
+        F.sequence(F.lit(0), n_frames - 1),
+        lambda f: F.unhex(
+            F.repeat(F.md5(F.concat(sid, F.lit(":"), f.cast("string")).cast("binary")), 2)
+        ),
+    )
+    payload = F.concat(
+        F.lit(FAKE_VIDEO_MAGIC),
+        F.unhex(F.lpad(F.hex(n_frames), 4, "0")),
+        F.unhex(F.lpad(F.hex(F.lit(FRAME_LEN)), 4, "0")),
+        F.aggregate(frames, F.lit(b""), lambda acc, x: F.concat(acc, x)),
+    )
+    meta = F.struct(
+        F.lit("video").alias("modality"),
+        F.lit("video/x-fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (n_frames * 40).alias("duration_ms"),  # fake 25 fps
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+    return df.withColumn("media", payload).withColumn("media_meta", meta)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("frame_checksum", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(media_df: DataFrame, n_samples: int = N_FRAME_SAMPLES) -> DataFrame:
+    """Uniform-stride frame sampling: frame_idx_j = ⌊j·n_frames/n⌋ for
+    j in 0..n−1 — the deterministic pick a video-pretraining pipeline
+    uses (real decoders swap into the same Arrow-batched pass). One
+    output row per sampled frame; payload bytes are parsed in Python
+    per Arrow BATCH, never per-row JVM calls.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
+                b = bytes(data)
+                if b[:4] != FAKE_VIDEO_MAGIC:
+                    raise ValueError("bad video magic")
+                n_frames, flen = struct.unpack(">HH", b[4:8])
+                for j in range(n_samples):
+                    idx = j * n_frames // n_samples
+                    frame = b[8 + idx * flen : 8 + (idx + 1) * flen]
+                    rows.append(
+                        (int(doc_id), idx, n_frames, sum(frame) % 65536)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "n_frames", "frame_checksum"]
+            )
+
+    return media_df.select("doc_id", "media").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
 def resize_stub(media_df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize is a payload→payload mapInPandas of the same shape; without
     an imaging library it only rewrites the header dims (documented stub

@@ -59,3 +59,26 @@ def test_resize_rewrites_dims(media):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"anything")
+
+
+def test_video_frame_sampling_stride_and_batching(spark):
+    """Frame sampling: uniform stride indices, one row per sampled
+    frame, checksum = decode of the actual payload bytes."""
+    from apm_opentelemetry_collector_spark.operators.multimodal import (
+        N_FRAME_SAMPLES,
+        sample_frames,
+        synth_video,
+    )
+
+    docs = spark.range(40).selectExpr("id AS doc_id")
+    out = sample_frames(synth_video(docs)).collect()
+    assert len(out) == 40 * N_FRAME_SAMPLES
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in by_doc.items():
+        n_frames = doc_id % 12 + 4
+        want_idx = [j * n_frames // N_FRAME_SAMPLES for j in range(N_FRAME_SAMPLES)]
+        assert sorted(r["frame_idx"] for r in rows) == sorted(want_idx)
+        assert all(r["n_frames"] == n_frames for r in rows)
+        assert all(0 <= r["frame_checksum"] < 65536 for r in rows)
