@@ -1537,7 +1537,7 @@ def _ann_recall_sql(k: int = 10) -> str:
         for name, sql in variants.items()
     )
     return f"""
-WITH bf AS (SELECT query_id, neighbor_id FROM ({_knn_sql(k=k)})),
+WITH bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({_knn_sql(k=k)})),
 hits AS ({hits})
 SELECT method, n_hits,
        CAST((SELECT count(*) FROM bf) AS BIGINT) AS n_true,
@@ -1552,7 +1552,7 @@ def _tune_n_probe_sql(k: int = 10) -> str:
         for p in TUNE_CANDIDATES
     )
     return f"""
-WITH bf AS (SELECT query_id, neighbor_id FROM ({_knn_sql(k=k)})),
+WITH bf AS MATERIALIZED (SELECT query_id, neighbor_id FROM ({_knn_sql(k=k)})),
 cand AS ({cand}),
 scored AS (
   SELECT n_probe, n_hits,

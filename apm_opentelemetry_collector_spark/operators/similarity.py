@@ -131,7 +131,9 @@ def ann_recall(
     from ..functions.vectors import brute_force_knn
 
     bf = brute_force_knn(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
-    bf_pairs = bf.select("query_id", "neighbor_id")
+    # consumed by every variant join + the true count (6 subtrees): persist
+    # the ≤|queries|·k pair table so brute force runs once, not per branch
+    bf_pairs = bf.select("query_id", "neighbor_id").persist()
     variants = {
         "ivf_p1": ivf_knn(embeddings, queries, k=k, n_probe=1, id_col=id_col, vec_col=vec_col),
         "ivf_p2": ivf_knn(embeddings, queries, k=k, n_probe=2, id_col=id_col, vec_col=vec_col),
@@ -186,9 +188,11 @@ def tune_n_probe(
 
     from ..functions.vectors import brute_force_knn
 
-    bf_pairs = brute_force_knn(
-        embeddings, queries, k=k, id_col=id_col, vec_col=vec_col
-    ).select("query_id", "neighbor_id")
+    bf_pairs = (
+        brute_force_knn(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
+        .select("query_id", "neighbor_id")
+        .persist()  # one brute-force scan shared by all candidate branches
+    )
     per = [
         ivf_knn(embeddings, queries, k=k, n_probe=p, id_col=id_col, vec_col=vec_col)
         .select("query_id", "neighbor_id")

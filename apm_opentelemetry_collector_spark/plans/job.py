@@ -191,12 +191,16 @@ def validate_bucket_layout(transcripts: DataFrame, n_buckets: int) -> None:
         r[0]
         for r in transcripts.select("conv_bucket").distinct().collect()
     ]
-    bad = sorted(int(v) for v in vals if v is None or not (0 <= int(v) < n_buckets))
+    bad = sorted(
+        (-1 if v is None else int(v))
+        for v in vals
+        if v is None or not 0 <= int(v) < n_buckets
+    )
     if bad:
         raise ValueError(
             f"input layout has conv_bucket values {bad[:8]}{'...' if len(bad) > 8 else ''} "
-            f"outside range({n_buckets}); re-run with the layout's bucket count "
-            "or drop the conv_bucket column to re-bucket on the fly"
+            f"outside range({n_buckets}) (-1 = NULL); re-run with the layout's "
+            "bucket count or drop the conv_bucket column to re-bucket on the fly"
         )
 
 
