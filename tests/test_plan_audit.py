@@ -234,3 +234,34 @@ def test_new_queries_no_python_nodes(spark):
                  "tfidf_top_terms", "leakage_safe_split", "robust_outliers"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Co-located join: two tables bucketed by conv_id with the same
+    bucket count must join with ZERO Exchange operators — the bucketed
+    scan satisfies the join's hash distribution (the parquet twin of
+    Iceberg's storage-partitioned join)."""
+    from apm_opentelemetry_collector_spark.sources.transcripts import (
+        synth_transcripts,
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}/wh'")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        tr = synth_transcripts(spark, 4000, 80)
+        write_bucketed(tr, "bdemo.t_a", n_buckets=8)
+        write_bucketed(
+            tr.groupBy("conv_id").count(), "bdemo.t_b", n_buckets=8,
+            sort_cols=("conv_id",),
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bdemo.t_a").join(spark.table("bdemo.t_b"), "conv_id")
+        assert joined.count() == 4000
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
