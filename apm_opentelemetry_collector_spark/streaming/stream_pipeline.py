@@ -236,6 +236,73 @@ def ewma_anomalies(
     )
 
 
+COUNTER_DELTA_SCHEMA = T.StructType(
+    [
+        T.StructField("name", T.StringType()),
+        T.StructField("host", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("delta", T.DoubleType()),
+    ]
+)
+
+COUNTER_STATE_SCHEMA = T.StructType([T.StructField("last_value", T.DoubleType())])
+
+
+def counter_delta_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators/rates.counter_delta: cumulative →
+    delta with reset handling, per (name, host) series, the LAST value
+    carried ACROSS micro-batches — the batch operator's lag window
+    becomes one float of keyed state. Inside a batch the differencing
+    is vectorized (pandas shift), seeded by the state for the first
+    row; first point of a series ever → NULL delta (no baseline),
+    decrease → reset → delta = the post-reset value itself.
+    Expects columns (name, host, ts, value).
+    """
+
+    def diff(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            import numpy as np
+
+            vals = pdf["value"].astype(float)
+            prev = vals.shift(1)
+            if last is not None and len(pdf):
+                prev.iloc[0] = last
+            # no baseline → NaN (NULL); decrease → reset → the value itself
+            delta = pd.Series(
+                np.where(
+                    prev.isna(),
+                    np.nan,
+                    np.where(vals.values >= prev.values, vals.values - prev.values, vals.values),
+                ),
+                index=vals.index,
+            )
+            out = pd.DataFrame(
+                {
+                    "name": pdf["name"],
+                    "host": pdf["host"],
+                    "ts": pdf["ts"],
+                    "value": vals,
+                    "delta": delta,
+                }
+            )
+            if len(pdf):
+                last = float(vals.iloc[-1])
+            yield out
+        if last is not None:
+            state.update((last,))
+
+    return stream.groupBy("name", "host").applyInPandasWithState(
+        diff,
+        COUNTER_DELTA_SCHEMA,
+        COUNTER_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_sinks_stream(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ):

@@ -282,3 +282,63 @@ def test_ewma_anomaly_state_crosses_microbatches(spark, tmp_path):
     assert rows[sec(5)]["is_anomaly"] is False        # baseline quiet
     # state crossed batches: the spike's z-score used batch-1 statistics
     assert rows[sec(0)]["zscore"] == 0.0              # warm-up
+
+
+def test_counter_delta_state_crosses_microbatches(spark, tmp_path):
+    """Streaming counter deltas must equal the batch operator over the
+    concatenated input: the baseline value crosses the micro-batch
+    boundary, resets yield the post-reset value, first point is NULL."""
+    import datetime as dt
+    import math
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.operators.rates import counter_delta
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        counter_delta_stateful,
+        run_to_memory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    path = str(tmp_path / "ctr_in")
+    # batch 1: counter climbs; batch 2: continues, then RESETS
+    b1 = [Row(name="m", host="h0", ts=sec(i), value=float(10 * i)) for i in range(5)]
+    b2 = [
+        Row(name="m", host="h0", ts=sec(5), value=55.0),
+        Row(name="m", host="h0", ts=sec(6), value=3.0),   # reset
+        Row(name="m", host="h0", ts=sec(7), value=9.0),
+    ]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    run_to_memory(counter_delta_stateful(stream), "ctr_out")
+    got = {r["ts"]: r["delta"] for r in spark.sql("SELECT * FROM ctr_out").collect()}
+
+    want = {
+        r["ts"]: r["delta"]
+        for r in counter_delta(
+            spark.read.parquet(path), ["name", "host"], "ts", "value"
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == 8
+    for ts in want:
+        if want[ts] is None:
+            assert got[ts] is None or math.isnan(got[ts])
+        else:
+            assert got[ts] == want[ts]
+    # boundary point (first of batch 2) used batch-1 state: 55-40=15
+    assert got[sec(5)] == 15.0
+    assert got[sec(6)] == 3.0  # reset → post-reset value
