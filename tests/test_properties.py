@@ -76,3 +76,53 @@ def test_record_codec_round_trip(rows):
     data = RECORD_MAGIC + gzip.compress(payload)
     decoded = decode_record(data)
     assert decoded == [(c, i, t) for c, i, t in rows]
+
+
+@given(
+    st.lists(
+        st.tuples(st.floats(min_value=-1e6, max_value=1e6), st.integers(1, 1000)),
+        min_size=1,
+        max_size=400,
+    ),
+    st.floats(min_value=0.01, max_value=0.99),
+)
+@settings(max_examples=60, deadline=None)
+def test_tdigest_merge_invariants(points, q):
+    """Pure-Python core of the t-digest: weight conservation, sorted
+    means, bounded size, and quantile inside the data range — for any
+    weighted input."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.tdigest import (
+        _merge,
+        _quantile,
+    )
+
+    pts = sorted(points)
+    means = np.array([p[0] for p in pts], dtype=float)
+    weights = np.array([p[1] for p in pts], dtype=float)
+    m, w = _merge(means, weights, 100)
+    assert abs(float(w.sum()) - float(weights.sum())) < 1e-6 * max(1.0, weights.sum())
+    assert np.all(np.diff(m) >= -1e-12)
+    assert len(m) <= 300
+    est = _quantile(m, w, q)
+    assert means.min() - 1e-9 <= est <= means.max() + 1e-9
+
+
+@given(st.integers(min_value=0, max_value=2**62))
+@settings(max_examples=80, deadline=None)
+def test_u48_sql_matches_python(doc_id):
+    """The nibble-arithmetic SQL twin of the 48-bit md5 uniform must
+    produce exactly the Python/Spark value for any id."""
+    import hashlib
+
+    import duckdb
+
+    from apm_opentelemetry_collector_spark.operators.sample import u48_sql
+
+    hx = hashlib.md5(str(doc_id).encode()).hexdigest()[:12]
+    want = (int(hx, 16) + 0.5) / float(1 << 48)
+    got = duckdb.sql(
+        f"SELECT {u48_sql('doc_id')} AS u FROM (SELECT {doc_id} AS doc_id)"
+    ).fetchone()[0]
+    assert got == want
