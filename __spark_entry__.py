@@ -30,6 +30,7 @@ from apm_opentelemetry_collector_spark.functions import sharding, sqlgen
 from apm_opentelemetry_collector_spark.functions import text as textfn
 from apm_opentelemetry_collector_spark.functions.parse import with_parsed
 from apm_opentelemetry_collector_spark.functions.vectors import brute_force_knn
+from apm_opentelemetry_collector_spark.operators import analytics as _analytics
 from apm_opentelemetry_collector_spark.operators import dedup as dd
 from apm_opentelemetry_collector_spark.operators.aggregate import (
     sink_outcome_counts,
@@ -985,6 +986,41 @@ def q_video_frame_sample(spark, sf_dir):
     return sample_frames(synth_video(docs))
 
 
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view → click → purchase, strictly increasing ts):
+    chained conditional min-aggregates, one scan per step against the
+    shrinking reached set. n_users non-increasing by construction."""
+    from apm_opentelemetry_collector_spark.operators.analytics import funnel_stages
+
+    return funnel_stages(_load(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix over events: integer week indices
+    (days-since-epoch // 7) so both engines bit-match the arithmetic."""
+    from apm_opentelemetry_collector_spark.operators.analytics import cohort_retention
+
+    return cohort_retention(_load(spark, sf_dir, "events"))
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON props extraction (the log-pipeline parse path for structured
+    payloads): get_json_object → typed column, malformed rows → NULL,
+    aggregated per event_type with exact op order."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.count(F.col("k")).cast("bigint").alias("n_parsed"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.col("k"))).alias("avg_k"),
+        )
+    )
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Contamination-aware train/val/test split: fold = consistent hash
     of the duplicate-group FINGERPRINT (not the row id), so exact dups
@@ -1084,6 +1120,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_safe_split": q_leakage_safe_split,
         "robust_outliers": q_robust_outliers,
         "video_frame_sample": q_video_frame_sample,
+        "events_funnel": q_events_funnel,
+        "cohort_retention": q_cohort_retention,
+        "events_json_props": q_events_json_props,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
@@ -2128,6 +2167,18 @@ SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS spl
 FROM documents""",
         "robust_outliers": _outliers_sql(),
         "video_frame_sample": _frame_sample_sql(),
+        "events_funnel": _analytics.funnel_sql(),
+        "cohort_retention": _analytics.cohort_retention_sql(),
+        "events_json_props": """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(k) AS BIGINT) AS n_parsed,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+FROM (
+  SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) GROUP BY event_type""",
         # tdigest_value_quantiles: rows-only by design (deterministic
         # digest, not SQL-expressible; pytest asserts rank tolerance vs
         # DuckDB exact quantiles + repartition invariance)

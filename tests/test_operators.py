@@ -486,3 +486,37 @@ def test_robust_outliers_flags_planted_spikes(spark):
            robust_zscore_outliers(df, "value", ["event_type"], ["event_id"]).collect()}
     assert set(got) == {1000, 1001}
     assert got[1000] > 3.5 and got[1001] < -3.5
+
+
+def test_funnel_requires_strict_order(spark):
+    """A user with purchase BEFORE click must not count as completing
+    the funnel; step counts are non-increasing."""
+    import datetime as dt
+
+    from apm_opentelemetry_collector_spark.operators.analytics import funnel_stages
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        # u1 completes in order
+        (1, "view", t(0)), (1, "click", t(1)), (1, "purchase", t(2)),
+        # u2: purchase precedes click → stops at click
+        (2, "view", t(0)), (2, "purchase", t(1)), (2, "click", t(2)),
+        # u3: view only
+        (3, "view", t(0)),
+        # u4: never viewed → not even step 1
+        (4, "click", t(0)), (4, "purchase", t(1)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r["step"]: r["n_users"] for r in funnel_stages(ev).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_json_props_malformed_rows_null(spark):
+    from pyspark.sql import functions as FF
+
+    rows = [(1, "a", '{"k": 5}'), (2, "a", "not json"), (3, "a", None),
+            (4, "a", '{"other": 1}')]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    k = FF.get_json_object("props", "$.k").cast("bigint")
+    got = {r["event_id"]: r["k"] for r in ev.select("event_id", k.alias("k")).collect()}
+    assert got == {1: 5, 2: None, 3: None, 4: None}

@@ -231,7 +231,8 @@ def test_new_queries_no_python_nodes(spark):
                  "counter_rate", "cube_orders", "events_hourly_rollup",
                  "stratified_sample", "ann_recall", "weighted_reservoir",
                  "tdigest_value_quantiles", "tune_n_probe", "kmeans_assign",
-                 "tfidf_top_terms", "leakage_safe_split", "robust_outliers"):
+                 "tfidf_top_terms", "leakage_safe_split", "robust_outliers",
+                 "events_funnel", "cohort_retention", "events_json_props"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

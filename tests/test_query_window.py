@@ -28,6 +28,7 @@ MUST_BE_IN_WINDOW = {
     "ann_recall", "tune_n_probe", "weighted_reservoir", "kmeans_assign",
     "tfidf_top_terms", "tdigest_value_quantiles", "dedup_components",
     "leakage_safe_split", "robust_outliers", "video_frame_sample",
+    "events_funnel", "cohort_retention", "events_json_props",
     # implementation touched in r3 (distinct_scope)
     "minhash_lsh_neardup",
 }
