@@ -986,6 +986,23 @@ def q_video_frame_sample(spark, sf_dir):
     return sample_frames(synth_video(docs))
 
 
+RATE_WINDOW_S = 86400
+RATE_MAX_EVENTS = 4
+
+
+def q_rate_limit_exceeded(spark, sf_dir):
+    """Trailing-24h per-user rate limiting over events: rows whose
+    user exceeded RATE_MAX_EVENTS in the preceding day (RANGE-frame
+    window, single per-key sort, exact integer parity)."""
+    from apm_opentelemetry_collector_spark.operators.rates import (
+        sliding_rate_exceeded,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    out = sliding_rate_exceeded(ev, ["user_id"], "ts", RATE_WINDOW_S, RATE_MAX_EVENTS)
+    return out
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view → click → purchase, strictly increasing ts):
     chained conditional min-aggregates, one scan per step against the
@@ -1123,6 +1140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "cohort_retention": q_cohort_retention,
         "events_json_props": q_events_json_props,
+        "rate_limit_exceeded": q_rate_limit_exceeded,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
@@ -2179,6 +2197,15 @@ FROM (
   SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
   FROM events
 ) GROUP BY event_type""",
+        "rate_limit_exceeded": f"""
+SELECT user_id, ts, n_in_window FROM (
+  SELECT user_id, ts,
+         CAST(count(*) OVER (
+           PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+           RANGE BETWEEN {RATE_WINDOW_S} PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS n_in_window
+  FROM events
+) WHERE n_in_window > {RATE_MAX_EVENTS}""",
         # tdigest_value_quantiles: rows-only by design (deterministic
         # digest, not SQL-expressible; pytest asserts rank tolerance vs
         # DuckDB exact quantiles + repartition invariance)

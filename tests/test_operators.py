@@ -520,3 +520,23 @@ def test_json_props_malformed_rows_null(spark):
     k = FF.get_json_object("props", "$.k").cast("bigint")
     got = {r["event_id"]: r["k"] for r in ev.select("event_id", k.alias("k")).collect()}
     assert got == {1: 5, 2: None, 3: None, 4: None}
+
+
+def test_sliding_rate_window_boundaries(spark):
+    """RANGE frame is inclusive of both the boundary-aged event and the
+    current row; an event 1s past the window ages out."""
+    import datetime as dt
+
+    from apm_opentelemetry_collector_spark.operators.rates import (
+        sliding_rate_exceeded,
+    )
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [(1, t(0)), (1, t(60)), (1, t(60 + 60)), (2, t(0)), (2, t(61))]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    # 60s window, max 1: user1's 2nd event sees [t0, t60] → n=2 (t0 at
+    # exactly -60 included); 3rd sees [t60, t120] → n=2. user2's 2nd
+    # sees only itself (t0 aged out at 61s) → never exceeds.
+    got = {(r["user_id"], r["ts"]): r["n_in_window"]
+           for r in sliding_rate_exceeded(ev, ["user_id"], "ts", 60, 1).collect()}
+    assert got == {(1, t(60)): 2, (1, t(120)): 2}

@@ -232,7 +232,8 @@ def test_new_queries_no_python_nodes(spark):
                  "stratified_sample", "ann_recall", "weighted_reservoir",
                  "tdigest_value_quantiles", "tune_n_probe", "kmeans_assign",
                  "tfidf_top_terms", "leakage_safe_split", "robust_outliers",
-                 "events_funnel", "cohort_retention", "events_json_props"):
+                 "events_funnel", "cohort_retention", "events_json_props",
+                 "rate_limit_exceeded"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

@@ -29,6 +29,7 @@ MUST_BE_IN_WINDOW = {
     "tfidf_top_terms", "tdigest_value_quantiles", "dedup_components",
     "leakage_safe_split", "robust_outliers", "video_frame_sample",
     "events_funnel", "cohort_retention", "events_json_props",
+    "rate_limit_exceeded",
     # implementation touched in r3 (distinct_scope)
     "minhash_lsh_neardup",
 }
