@@ -1141,6 +1141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "events_json_props": q_events_json_props,
         "rate_limit_exceeded": q_rate_limit_exceeded,
+        # implementation touched in r3 (distinct_scope) — keep inside the
+        # driver's 50-query window
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
@@ -1172,10 +1175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_resample": q_metrics_resample,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_window": q_events_sessionize_window,
-        # training-data ops (documents/embeddings); minhash leads — its
-        # module changed in r3 (distinct_scope) and must stay inside the
-        # driver's 50-query window
-        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        # training-data ops (documents/embeddings)
         "dedup_exact": q_dedup_exact,
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
