@@ -49,18 +49,23 @@ class MinHashConfig:
 
     distinct_scope picks WHERE shingle set-dedup happens (results are
     identical — equality-tested):
-      - "corpus": one distinct() over the whole shingle table, shared by
-        signatures and verify. Locally FASTER (measured 14.2 s vs 22.4 s
-        at sf0.1, interleaved minima — everything is memory-local, so
-        the single shared shuffle beats the extra operators).
-      - "candidates": signatures run on RAW shingles (min over a
-        multiset = min over its set; map-side combinable, so the
-        shuffle is |docs|×n_hashes signature rows, NOT the full shingle
-        text), and distinct() touches only candidate docs' shingles.
-        At cluster scale the corpus-wide shingle distinct is the
-        largest shuffle in the operator (~5× corpus bytes over the
-        network); this scope removes it, which is why PRODUCTION uses
-        it despite the local measurement.
+      - "corpus" (default everywhere): one distinct() over the whole
+        shingle table, shared by signatures and verify. Measured FASTER
+        on this machine at BOTH bandings (sf0.1 interleaved minima:
+        14.2 s vs 22.4 s at 8/2; 48.5 s vs 124.8 s at 128/32) —
+        shuffle is memory/disk-local here, so the single shared shuffle
+        beats the extra operators.
+      - "candidates" (opt-in for network-bound clusters): signatures
+        run on RAW shingles (min over a multiset = min over its set;
+        map-side combinable, so the shuffle is |docs|×n_hashes
+        signature rows, NOT the full shingle text), and distinct()
+        touches only candidate docs' shingles. The corpus-wide shingle
+        distinct moves ~5× the corpus TEXT bytes through the shuffle —
+        petabytes at 100 TB — while the signature shuffle is ~2% of
+        corpus; when shuffle crosses a real network, that byte ratio
+        dominates the locally-measured CPU overhead. Kept behind the
+        knob precisely because the local benchmark CANNOT witness the
+        network effect: measure on the target cluster, then flip.
     """
 
     n_hashes: int = N_HASHES
@@ -82,9 +87,7 @@ class MinHashConfig:
 
 
 CI_BANDING = MinHashConfig()
-PRODUCTION_BANDING = MinHashConfig(
-    n_hashes=128, n_bands=32, distinct_scope="candidates"
-)
+PRODUCTION_BANDING = MinHashConfig(n_hashes=128, n_bands=32)
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
