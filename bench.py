@@ -104,6 +104,8 @@ def main() -> None:
         "tdigest_value_quantiles",
         "kmeans_assign",
         "tfidf_top_terms",
+        "events_funnel",
+        "rate_limit_exceeded",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
