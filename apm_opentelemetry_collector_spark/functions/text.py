@@ -224,7 +224,7 @@ def tfidf_top_terms(
     aggregates on uniform term keys; the final top-n is a per-group
     WindowGroupLimit — no corpus-sized state anywhere.
     """
-    from pyspark.sql import DataFrame, Window
+    from pyspark.sql import Window
 
     toks = docs.select(
         F.col(group_col),

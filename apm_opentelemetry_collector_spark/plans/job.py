@@ -31,7 +31,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import PipelineConfig
-from ..functions import sharding
 from ..operators.aggregate import conv_bucket_col
 from ..operators.pack import assign_batches
 from ..plans.pipeline import run_pipeline

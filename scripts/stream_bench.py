@@ -23,8 +23,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
 from apm_opentelemetry_collector_spark.operators.route import (  # noqa: E402
     fan_out,
     with_send_outcome,
