@@ -115,3 +115,66 @@ def test_dedup_state_survives_checkpoint_restart(spark, tmp_path):
         for r in spark.read.parquet(out_path).collect()
     )
     assert got == [("c1", 0, "a"), ("c1", 1, "b"), ("c1", 2, "c")]
+
+
+def test_counter_state_survives_checkpoint_restart(spark, tmp_path):
+    """A restarted counter-delta query (same checkpoint) must difference
+    against the last value seen BEFORE the restart — the per-series
+    float lives in the state store, not the process."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        counter_delta_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    in_path = str(tmp_path / "in")
+    out_path = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    def write(rows):
+        spark.createDataFrame(
+            [Row(name="m", host="h", ts=t(s), value=float(v)) for s, v in rows],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(in_path)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_path)
+        )
+        q = (
+            counter_delta_stateful(stream)
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write([(0, 10), (1, 25)])
+    run_once()
+    # process "restarts"; next point must difference against 25 (state),
+    # and a reset mid-file must still yield the post-reset value
+    write([(2, 40), (3, 4)])
+    run_once()
+
+    got = {r["ts"]: r["delta"] for r in spark.read.parquet(out_path).collect()}
+    assert got[t(1)] == 15.0
+    assert got[t(2)] == 15.0  # 40 - 25: baseline restored from checkpoint
+    assert got[t(3)] == 4.0   # reset
+    assert got[t(0)] is None or got[t(0)] != got[t(0)]  # first point: NULL/NaN
