@@ -303,6 +303,65 @@ def counter_delta_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+FUNNEL_EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("step_idx", T.IntegerType()),
+        T.StructField("step", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+FUNNEL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("step_reached", T.IntegerType()),
+        T.StructField("last_us", T.LongType()),  # completion ts, epoch µs
+    ]
+)
+
+
+def funnel_stateful(
+    stream: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming twin of analytics.funnel_stages: per-user funnel
+    progress as keyed state (furthest step + its completion time in
+    epoch µs) across micro-batches; one row emitted per ADVANCE.
+
+    Equivalent to the batch operator when each user's events arrive in
+    event-time order (the greedy first-qualifying advance equals the
+    batch min-ts chain) — the usual ordered-ingest assumption; under
+    reordering, pair with a watermark-sized buffer upstream.
+    Expects columns (user_id, event_type, ts).
+    """
+
+    def advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        reached, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            out = []
+            for etype, ts in zip(pdf["event_type"], pdf["ts"]):
+                if reached >= len(steps):
+                    break
+                ts_us = int(pd.Timestamp(ts).value // 1000)
+                needed = steps[reached]
+                if etype == needed and (reached == 0 or ts_us > last_us):
+                    reached += 1
+                    last_us = ts_us
+                    out.append((int(key[0]), reached, needed, ts))
+            if out:
+                yield pd.DataFrame(out, columns=["user_id", "step_idx", "step", "ts"])
+        state.update((int(reached), int(last_us)))
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        advance,
+        FUNNEL_EVENT_SCHEMA,
+        FUNNEL_STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def write_sinks_stream(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ):

@@ -342,3 +342,65 @@ def test_counter_delta_state_crosses_microbatches(spark, tmp_path):
     # boundary point (first of batch 2) used batch-1 state: 55-40=15
     assert got[sec(5)] == 15.0
     assert got[sec(6)] == 3.0  # reset → post-reset value
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Funnel progress carried across micro-batches equals the batch
+    funnel over the concatenated events; strict order still enforced."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.operators.analytics import funnel_stages
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        funnel_stateful,
+        run_to_memory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    path = str(tmp_path / "fun_in")
+    # batch 1: u1 views; u2 views+clicks; u3 purchases (never viewed)
+    b1 = [Row(user_id=1, event_type="view", ts=t(0)),
+          Row(user_id=2, event_type="view", ts=t(0)),
+          Row(user_id=2, event_type="click", ts=t(1)),
+          Row(user_id=3, event_type="purchase", ts=t(0))]
+    # batch 2: u1 clicks+purchases (advance uses batch-1 state);
+    # u2 purchases; u3 views (starts funnel late)
+    b2 = [Row(user_id=1, event_type="click", ts=t(10)),
+          Row(user_id=1, event_type="purchase", ts=t(11)),
+          Row(user_id=2, event_type="purchase", ts=t(10)),
+          Row(user_id=3, event_type="view", ts=t(10))]
+    for b in (b1, b2):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    run_to_memory(funnel_stateful(stream), "fun_out")
+    emitted = spark.sql("SELECT * FROM fun_out")
+
+    # per-step distinct-user counts equal the batch funnel
+    from pyspark.sql import functions as FF
+
+    stream_counts = {
+        r["step"]: r["n"]
+        for r in emitted.groupBy("step")
+        .agg(FF.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    batch_counts = {
+        r["step"]: r["n_users"]
+        for r in funnel_stages(spark.read.parquet(path)).collect()
+    }
+    assert stream_counts == {k: v for k, v in batch_counts.items() if v > 0}
+    # u1 advanced across the batch boundary; u3's early purchase ignored
+    rows = {(r["user_id"], r["step"]) for r in emitted.collect()}
+    assert (1, "purchase") in rows and (3, "purchase") not in rows
