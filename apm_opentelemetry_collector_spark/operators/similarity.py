@@ -122,13 +122,18 @@ def ann_recall(
     exact cosine, so it is itself a brute-force top-k member) — recall
     is monotone in n_probe/multi_probe, asserted in tests.
 
-    Everything is lazy DataFrame composition — no driver-side action;
-    the per-variant hit counts and the true count are 1-row aggregates
-    cross-joined at the end (bounded by #variants).
+    The per-variant hit counts and the true count are 1-row aggregates
+    cross-joined at the end (bounded by #variants); the ≤#variants-row
+    result is materialized to a reliable checkpoint so the persisted
+    brute-force pair table can be released before returning (the same
+    persist → checkpoint → unpersist discipline as minhash_lsh_dedup —
+    a leaked persist would accumulate across repeated calls in a
+    long-lived session until LRU eviction).
     """
     from functools import reduce
 
     from ..functions.vectors import brute_force_knn
+    from ..session import ensure_checkpoint_dir
 
     bf = brute_force_knn(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
     # consumed by every variant join + the true count (6 subtrees): persist
@@ -153,7 +158,7 @@ def ann_recall(
         .select(F.lit(name).alias("method"), "n_hits")
         for name, approx in variants.items()
     ]
-    return (
+    out = (
         reduce(DataFrame.unionByName, per_method)
         .crossJoin(n_true)
         .select(
@@ -163,6 +168,15 @@ def ann_recall(
             F.round(F.col("n_hits") / F.col("n_true"), 6).alias("recall"),
         )
     )
+    # persist BEFORE the reliable checkpoint (the checkpoint job otherwise
+    # recomputes the whole variant lineage a second time), drop right after
+    out = out.persist()
+    try:
+        ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
+        return out.checkpoint(eager=True)
+    finally:
+        out.unpersist()
+        bf_pairs.unpersist()
 
 
 def tune_n_probe(
@@ -179,14 +193,16 @@ def tune_n_probe(
     n_probe, n_hits, n_true, recall (the chosen setting; if no candidate
     reaches the target, the highest-recall/widest candidate).
 
-    Lazy composition like ann_recall: per-candidate 1-row hit counts vs
-    brute force, then a deterministic pick (meets-target first, then
-    smallest n_probe). On a cluster you run this on a SAMPLE of queries,
-    then deploy the chosen n_probe for the full workload.
+    Same composition and persist → checkpoint → unpersist discipline as
+    ann_recall: per-candidate 1-row hit counts vs brute force, then a
+    deterministic pick (meets-target first, then smallest n_probe). On a
+    cluster you run this on a SAMPLE of queries, then deploy the chosen
+    n_probe for the full workload.
     """
     from functools import reduce
 
     from ..functions.vectors import brute_force_knn
+    from ..session import ensure_checkpoint_dir
 
     bf_pairs = (
         brute_force_knn(embeddings, queries, k=k, id_col=id_col, vec_col=vec_col)
@@ -207,7 +223,7 @@ def tune_n_probe(
         .crossJoin(n_true)
         .withColumn("recall", F.round(F.col("n_hits") / F.col("n_true"), 6))
     )
-    return (
+    out = (
         scored.orderBy(
             F.when(F.col("recall") >= target_recall, 0).otherwise(1).asc(),
             F.when(F.col("recall") >= target_recall, F.col("n_probe")).otherwise(
@@ -218,6 +234,13 @@ def tune_n_probe(
         .limit(1)
         .select("n_probe", "n_hits", "n_true", "recall")
     )
+    out = out.persist()
+    try:
+        ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
+        return out.checkpoint(eager=True)
+    finally:
+        out.unpersist()
+        bf_pairs.unpersist()
 
 
 # --- hyperplane (random-projection) LSH ANN ---------------------------------

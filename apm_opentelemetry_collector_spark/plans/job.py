@@ -25,6 +25,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -98,20 +99,21 @@ def _process(
     sub = f"bucket={bucket}" if bucket is not None else "all"
 
     routed_dir = os.path.join(out_dir, "routed", sub)
-    (
-        routed.withColumn("conv_bucket", conv_bucket_col(cfg.n_conv_buckets))
-        .drop("parsed", "hash_key")  # wide derived cols stay out of the sink table
-        .write.mode("overwrite")
-        .partitionBy("sink")
-        .parquet(routed_dir)
-    )
+    sink_table = routed.withColumn(
+        "conv_bucket", conv_bucket_col(cfg.n_conv_buckets)
+    ).drop("parsed", "hash_key")  # wide derived cols stay out of the sink table
+    sink_table.write.mode("overwrite").partitionBy("sink").parquet(routed_dir)
     rejected_dir = os.path.join(out_dir, "rejected", sub)
     res.rejected.write.mode("overwrite").parquet(rejected_dir)
 
     # aggregates from the written table — ONE pruned scan (group cols +
     # crc only; parquet column pruning keeps text out) produces the
     # metric table, the outcome totals, and the lineage checksum.
-    written = spark.read.parquet(routed_dir)
+    # Explicit schema (known from the DataFrame just written): an EMPTY
+    # bucket writes only _SUCCESS, and schema inference over zero part
+    # files would fail — empty buckets are legal (sparse inputs, layouts
+    # written with fewer buckets than requested).
+    written = spark.read.schema(sink_table.schema).parquet(routed_dir)
     sink_counts = written.groupBy(
         "sink", "conv_bucket", "role", "tool", "outcome"
     ).agg(
@@ -130,12 +132,12 @@ def _process(
     # metrics table (tiny scan), collapsed to one row per outcome —
     # the only .collect() in the runner, bounded by #outcomes (≤4).
     totals = (
-        spark.read.parquet(metrics_dir)
+        spark.read.schema(sink_counts.schema).parquet(metrics_dir)
         .groupBy("outcome")
         .agg(F.sum("n").alias("n"), F.sum("crc").alias("crc"))
         .collect()
     )
-    n_rejected = spark.read.parquet(rejected_dir).count()
+    n_rejected = spark.read.schema(res.rejected.schema).parquet(rejected_dir).count()
 
     by_outcome = {r["outcome"]: int(r["n"]) for r in totals}
     checksum = sum(int(r["crc"] or 0) for r in totals)
@@ -200,6 +202,19 @@ def validate_bucket_layout(transcripts: DataFrame, n_buckets: int) -> None:
             f"input layout has conv_bucket values {bad[:8]}{'...' if len(bad) > 8 else ''} "
             f"outside range({n_buckets}) (-1 = NULL); re-run with the layout's "
             "bucket count or drop the conv_bucket column to re-bucket on the fly"
+        )
+    # Fewer populated buckets than requested is NOT an error (rows are
+    # still processed exactly once, and a sparse input can legitimately
+    # leave buckets empty) — but a layout written with a smaller bucket
+    # count silently coarsens manifest/resume granularity, so tell the
+    # caller what the effective layout holds.
+    effective = max((int(v) for v in vals), default=-1) + 1
+    if effective < n_buckets:
+        warnings.warn(
+            f"input layout populates only buckets [0, {effective}) of the "
+            f"requested {n_buckets}; buckets {effective}..{n_buckets - 1} will "
+            "be empty and resume granularity follows the written layout",
+            stacklevel=2,
         )
 
 

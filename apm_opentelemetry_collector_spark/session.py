@@ -8,7 +8,10 @@ multi-executor deployment.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -55,6 +58,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def ensure_checkpoint_dir(sc) -> None:
+    """Point the context at a checkpoint dir if none is set.
+
+    On a real cluster the caller sets durable shared storage; a scratch
+    dir is the single-node stand-in, registered for removal at
+    interpreter exit so repeated checkpointing operators in a long
+    session don't leak files in /tmp (the ContextCleaner only removes
+    them with cleanCheckpoints=true, a startup-only conf).
+    """
+    if sc.getCheckpointDir() is None:
+        scratch = tempfile.mkdtemp(prefix="spark-ckpt-")
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
+        sc.setCheckpointDir(scratch)
 
 
 def assert_no_rowwise_python(df) -> None:

@@ -270,15 +270,16 @@ def counter_delta_stateful(stream: DataFrame) -> DataFrame:
             prev = vals.shift(1)
             if last is not None and len(pdf):
                 prev.iloc[0] = last
-            # no baseline → NaN (NULL); decrease → reset → the value itself
-            delta = pd.Series(
-                np.where(
-                    prev.isna(),
-                    np.nan,
-                    np.where(vals.values >= prev.values, vals.values - prev.values, vals.values),
-                ),
-                index=vals.index,
+            # no baseline → NULL (nullable Float64, masked — NOT NaN: the
+            # batch twin emits NULL and downstream `delta IS NULL` filters
+            # and sum/avg must behave identically on both paths); decrease
+            # → reset → the value itself
+            delta = pd.array(
+                np.where(vals.values >= prev.values, vals.values - prev.values, vals.values),
+                dtype="Float64",
             )
+            delta[prev.isna().to_numpy()] = pd.NA
+            delta = pd.Series(delta, index=vals.index)
             out = pd.DataFrame(
                 {
                     "name": pdf["name"],

@@ -27,7 +27,12 @@ def _recalls(df) -> dict[str, float]:
 
 def test_recall_monotone_and_coverage_floor_on_fixture(spark):
     emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
     rec = _recalls(ann_recall(emb, emb.filter(F.col("vec_id") < 5), k=10))
+    # ADVICE r3: the internal brute-force persist must be released before
+    # returning — repeated calls in a long-lived session must not
+    # accumulate cached partitions
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
     assert set(rec) == {"ivf_p1", "ivf_p2", "ivf_p4", "lsh_mp0", "lsh_mp1"}
     # widening the probe set can only add hits (a displacing candidate
     # has higher exact cosine, hence is itself a brute-force member)

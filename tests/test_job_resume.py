@@ -98,3 +98,34 @@ def test_bucket_count_mismatch_fails_fast(spark, tmp_path):
     # matching count still works
     res = run_job(spark, pre, str(tmp_path / "job_ok"), n_buckets=8)
     assert len(res.buckets_run) == 8
+
+
+def test_bucket_count_undershoot_warns(spark, tmp_path):
+    """ADVICE r3: a layout written with FEWER buckets than requested is
+    processed exactly once (no loss) but must WARN — buckets past the
+    written layout stay empty and resume granularity follows the layout."""
+    import warnings as warnings_mod
+
+    from apm_opentelemetry_collector_spark.sources.transcripts import (
+        write_partitioned,
+    )
+
+    tr = synth_transcripts(spark, n_rows=2_000, n_convs=40)
+    layout = str(tmp_path / "layout4")
+    write_partitioned(tr, layout, n_buckets=4)
+    pre = spark.read.parquet(layout)
+
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        res = run_job(spark, pre, str(tmp_path / "job16"), n_buckets=16)
+    assert any("populates only buckets [0, 4)" in str(w.message) for w in caught)
+    # all 16 manifests exist (12 for empty buckets), and the totals equal
+    # a matching-layout run — rows processed exactly once, none lost
+    assert len(res.manifests) == 16
+    ok = run_job(spark, pre, str(tmp_path / "job4"), n_buckets=4)
+    key = lambda r: (
+        sum(m["routed_rows"] for m in r.manifests),
+        sum(m["rejected_rows"] for m in r.manifests),
+        sum(m["checksum"] for m in r.manifests),
+    )
+    assert key(res) == key(ok)

@@ -289,7 +289,6 @@ def test_counter_delta_state_crosses_microbatches(spark, tmp_path):
     concatenated input: the baseline value crosses the micro-batch
     boundary, resets yield the post-reset value, first point is NULL."""
     import datetime as dt
-    import math
 
     from pyspark.sql import Row
     from pyspark.sql import types as T
@@ -335,10 +334,9 @@ def test_counter_delta_state_crosses_microbatches(spark, tmp_path):
     }
     assert set(got) == set(want) and len(got) == 8
     for ts in want:
-        if want[ts] is None:
-            assert got[ts] is None or math.isnan(got[ts])
-        else:
-            assert got[ts] == want[ts]
+        # strict: first point is NULL on BOTH paths (not NaN — a NaN
+        # would slip past `delta IS NULL` filters and poison sum/avg)
+        assert got[ts] == want[ts] or (got[ts] is None and want[ts] is None)
     # boundary point (first of batch 2) used batch-1 state: 55-40=15
     assert got[sec(5)] == 15.0
     assert got[sec(6)] == 3.0  # reset → post-reset value
