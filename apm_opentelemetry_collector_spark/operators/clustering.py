@@ -44,13 +44,31 @@ def _dist2(v, c):
 
 
 def _assign(points: DataFrame, cents: DataFrame) -> DataFrame:
-    w = Window.partitionBy("id").orderBy(F.col("d2").asc(), F.col("cluster").asc())
-    return (
-        points.crossJoin(F.broadcast(cents))
-        .withColumn("d2", _dist2(F.col("v"), F.col("c")))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "v", "cluster")
+    """Nearest centroid as a pure MAP-SIDE projection: the k centroids
+    collapse to ONE array-of-structs row (sorted by cluster id),
+    broadcast-cross-joined, and each point folds over it with
+    F.aggregate keeping the strictly-smaller d2 — ties stay with the
+    earlier (lower) cluster, the same (d2 ASC, cluster ASC) order the
+    SQL twin's row_number encodes. No shuffle, no sort, no per-point
+    aggregate anywhere in the assignment — the r3 plan's row_number
+    window (shuffle+sort of k× rows per Lloyd round) and the naive
+    min(struct-with-array) swap (SortAggregate — structs holding arrays
+    aren't hash-aggregable) both disappear; the only per-round exchange
+    left is the tiny centroid-mean aggregate."""
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("_cents")
+    )
+    acc0 = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cluster"))
+
+    def step(acc, x):
+        d2 = _dist2(F.col("v"), x["c"])
+        return F.when(
+            d2 < acc["d2"],
+            F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
+        ).otherwise(acc)
+
+    return points.crossJoin(F.broadcast(cent_arr)).select(
+        "id", "v", F.aggregate("_cents", acc0, step)["cluster"].alias("cluster")
     )
 
 

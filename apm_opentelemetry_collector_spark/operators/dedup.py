@@ -20,15 +20,13 @@ Scale notes (100 TB corpus):
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized
+from ..session import ensure_checkpoint_dir
 
 SHINGLE_LEN = 5
 N_HASHES = 8
@@ -300,16 +298,7 @@ def minhash_lsh_dedup(
             sh_cand = sh.join(cand_ids, "id", "left_semi").distinct().persist()
             sh_verify = sh_cand
         out = jaccard(pairs, sh_verify).filter(F.col("jaccard") >= threshold)
-        sc = docs.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            # point at durable shared storage on a real cluster; a scratch
-            # dir is the single-node stand-in. Register it for removal at
-            # interpreter exit so repeated dedup calls in a long session
-            # don't leak checkpoint files in /tmp (the ContextCleaner only
-            # removes them with cleanCheckpoints=true, a startup-only conf).
-            scratch = tempfile.mkdtemp(prefix="spark-ckpt-")
-            atexit.register(shutil.rmtree, scratch, ignore_errors=True)
-            sc.setCheckpointDir(scratch)
+        ensure_checkpoint_dir(docs.sparkSession.sparkContext)
         # persist BEFORE the reliable checkpoint: the checkpoint job
         # otherwise RECOMPUTES the whole lineage a second time (measured
         # 1.8× on the sf0.1 bench). The cache is dropped right after —
@@ -417,6 +406,122 @@ def dedup_components(pairs: DataFrame, iters: int = CC_ITERS) -> DataFrame:
         )
     sym.unpersist()
     return labels.select("id", F.col("comp").alias("component"))
+
+
+STAR_MAX_ROUNDS = 20  # safety bound; converges in O(log² n) rounds
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round: every node connects its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood. Emitted edges
+    always point larger → smaller (u > v)."""
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        sym.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node connects its SMALLER neighbors (and
+    itself) to the minimum among them. Input and output edges point
+    larger → smaller."""
+    m = edges.groupBy("u").agg(F.min("v").alias("m"))
+    return (
+        edges.join(m, "u")
+        .select(F.col("v").alias("x"), "m")
+        .union(m.select(F.col("u").alias("x"), "m"))
+        .filter(F.col("x") != F.col("m"))
+        .select(F.greatest("x", "m").alias("u"), F.least("x", "m").alias("v"))
+        .distinct()
+    )
+
+
+def dedup_components_star(
+    pairs: DataFrame, max_rounds: int = STAR_MAX_ROUNDS
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    billion-edge production algorithm dedup_components's docstring
+    promises (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each round is two hash-shuffles on node id (a groupBy min
+    + an equi-join back), the edge set only ever shrinks toward star
+    graphs, and convergence needs O(log² n) rounds REGARDLESS of
+    component diameter — where min-label propagation needs diameter
+    rounds and keeps the full |nodes| label table live, star rounds
+    operate on the (shrinking) edge list only.
+
+    Iterates to CONVERGENCE (edge set stable), not a fixed round count:
+    each round's edges are materialized to a reliable STORAGE checkpoint
+    (persist → checkpoint → unpersist — the same lineage-cut discipline
+    as dedup_components, but surviving executor loss and not pinning
+    executor memory), and a bounded 1-row aggregate per round compares
+    (count, hash-sum) fingerprints of consecutive edge sets.
+
+    Output contract identical to dedup_components: (id, component) with
+    component = the true minimum id of the node's component (exact —
+    equality-tested against min-label propagation, and oracled by a
+    recursive-CTE transitive closure in DuckDB).
+    """
+    ensure_checkpoint_dir(pairs.sparkSession.sparkContext)
+    # canonicalize: unique larger→smaller edges, no self-loops
+    edges = (
+        pairs.select(
+            F.greatest("id_a", "id_b").alias("u"),
+            F.least("id_a", "id_b").alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .union(edges.select(F.col("v").alias("id")))
+        .distinct()
+    )
+    edges = edges.persist()
+    nodes = nodes.checkpoint(eager=True)
+    edges_ck = edges.checkpoint(eager=True)
+    edges.unpersist()
+    edges = edges_ck
+
+    def _fingerprint(e: DataFrame) -> tuple[int, int]:
+        # decimal accumulation: exact and overflow-free under ANSI mode
+        # (a bigint sum of xxhash64 values overflows within a handful
+        # of rows), order-independent, so the fingerprint is stable
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    fp = _fingerprint(edges)
+    for _ in range(max_rounds):
+        nxt = _small_star(_large_star(edges)).persist()
+        nxt_ck = nxt.checkpoint(eager=True)
+        nxt.unpersist()
+        edges.unpersist()
+        edges = nxt_ck
+        nfp = _fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+    # converged star graph: every non-root points straight at its
+    # component minimum; roots (no outgoing edge) label themselves
+    return nodes.join(
+        edges.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        "id",
+        "left",
+    ).select("id", F.coalesce("root", "id").alias("component"))
 
 
 # --- SimHash ---------------------------------------------------------------

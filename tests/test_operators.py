@@ -438,6 +438,36 @@ def test_dedup_components_chain_and_cliques(spark):
     assert len(comp) == 10
 
 
+def test_star_components_match_minlabel_and_handle_long_chains(spark):
+    """Large-star/small-star must agree with min-label propagation on
+    graphs min-label can solve, AND converge on a chain whose diameter
+    EXCEEDS the min-label round budget (the O(log² n)-vs-diameter
+    difference that makes star the billion-edge algorithm)."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        CC_ITERS,
+        dedup_components,
+        dedup_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    star = {r["id"]: r["component"] for r in dedup_components_star(pairs).collect()}
+    ml = {r["id"]: r["component"] for r in dedup_components(pairs).collect()}
+    assert star == ml
+
+    # 40-edge path: diameter 40 > CC_ITERS — fixed-round min-label CANNOT
+    # finish this, star converges (log² rounds) to the single min label
+    n = 41
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 100 + n - 1)], "id_a long, id_b long"
+    )
+    assert n - 1 > CC_ITERS
+    got = {r["id"]: r["component"] for r in dedup_components_star(chain).collect()}
+    assert got == {i: 100 for i in range(100, 100 + n)}
+
+
 def test_leakage_safe_split_groups_share_folds(spark):
     """Exact duplicates (same fingerprint) must land in the SAME fold,
     and the fold ratios must approximate the weights."""
