@@ -145,3 +145,88 @@ def tdigest_quantiles(
         return out[[*group_cols, "q", "est"]]
 
     return partials.groupBy(*group_cols).applyInPandas(finalize, out_schema)
+
+
+# --- SQL-composable digest aggregates ---------------------------------------
+#
+# The applyInPandas operator above is the engine-side scale path; these
+# expose the SAME sketch as groupBy-composable aggregate functions so
+# quantiles compose with the SQL surface (sources/sql_api.py):
+#
+#   SELECT g, tdigest_quantile(tdigest_agg(value), 0.5) FROM t GROUP BY g
+#
+# A digest travels as array<double> of interleaved [mean0, weight0,
+# mean1, weight1, ...] — mergeable, bounded at O(delta) elements. Since
+# a grouped-agg pandas UDF ships the group's RAW values to one
+# aggregator (Spark's pandas grouped aggregates do no partial
+# aggregation), the scalable SQL idiom is the same two-level salting the
+# operator uses internally, now expressible in pure SQL:
+#
+#   SELECT g, tdigest_quantile(tdigest_merge_agg(d), 0.99)
+#   FROM (SELECT g, tdigest_agg(value) AS d
+#         FROM t GROUP BY g, hash(id) % 32)
+#   GROUP BY g
+#
+# — the inner level bounds each aggregator's input, the outer level
+# merges O(delta)-sized digests. Tests assert two-level == single-level
+# within the digest's rank tolerance.
+
+
+def _encode_digest(m: "np.ndarray", w: "np.ndarray") -> list:
+    out = np.empty(2 * len(m))
+    out[0::2], out[1::2] = m, w
+    return [float(x) for x in out]
+
+
+def _merge_encoded(arrs, delta: float):
+    """Merge encoded digests (or raise on empties): concatenate
+    centroids, sort by (mean, weight) — deterministic — and re-merge."""
+    ms = np.concatenate([np.asarray(a, dtype=float)[0::2] for a in arrs])
+    ws = np.concatenate([np.asarray(a, dtype=float)[1::2] for a in arrs])
+    order = np.lexsort((ws, ms))
+    return _merge(ms[order], ws[order], delta)
+
+
+def make_digest_udfs(delta: float = DELTA):
+    """Build (tdigest_agg, tdigest_merge_agg, tdigest_quantile) pandas
+    UDFs. Arrow-batched only (grouped aggregates run as AggregateInPandas,
+    the quantile as ArrowEvalPython) — no row-at-a-time Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def tdigest_agg(v: pd.Series) -> list:
+        vals = np.sort(v.dropna().to_numpy(dtype=float))
+        if len(vals) == 0:
+            return None
+        m, w = _merge(vals, np.ones(len(vals)), delta)
+        return _encode_digest(m, w)
+
+    @pandas_udf("array<double>")
+    def tdigest_merge_agg(d: pd.Series) -> list:
+        arrs = [a for a in d if a is not None and len(a)]
+        if not arrs:
+            return None
+        m, w = _merge_encoded(arrs, delta)
+        return _encode_digest(m, w)
+
+    @pandas_udf("double")
+    def tdigest_quantile(d: pd.Series, q: pd.Series) -> pd.Series:
+        out = []
+        for arr, qq in zip(d, q):
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            a = np.asarray(arr, dtype=float)
+            out.append(_quantile(a[0::2], a[1::2], float(qq)))
+        return pd.Series(out, dtype="float64")
+
+    return tdigest_agg, tdigest_merge_agg, tdigest_quantile
+
+
+def register_digest_sql(spark, delta: float = DELTA) -> list[str]:
+    """Register the digest aggregates for spark.sql use. Returns names."""
+    agg, merge, quant = make_digest_udfs(delta)
+    spark.udf.register("tdigest_agg", agg)
+    spark.udf.register("tdigest_merge_agg", merge)
+    spark.udf.register("tdigest_quantile", quant)
+    return ["tdigest_agg", "tdigest_merge_agg", "tdigest_quantile"]

@@ -30,6 +30,8 @@ def register_views(
     from ..plans.pipeline import run_pipeline
     from .transcripts import derive_transcripts
 
+    from ..operators.tdigest import register_digest_sql
+
     names = []
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
@@ -42,4 +44,6 @@ def register_views(
         res.routed.createOrReplaceTempView("routed")
         res.rejected.createOrReplaceTempView("rejected")
         names += ["routed", "rejected"]
+    # digest aggregates: approximate quantiles composable from pure SQL
+    names += register_digest_sql(spark)
     return names
