@@ -106,6 +106,9 @@ def main() -> None:
         "tfidf_top_terms",
         "events_funnel",
         "rate_limit_exceeded",
+        # r4 additions
+        "dedup_components_star",
+        "value_percentiles_tdigest",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
