@@ -996,6 +996,14 @@ def q_dedup_components(spark, sf_dir):
     return dedup_components(dd.minhash_lsh_dedup(docs, threshold=0.5))
 
 
+def q_repeated_passages(spark, sf_dir):
+    """Cross-document repeated passages (boilerplate/memorization
+    check): 40-char normalized windows at stride 7, counted by md5 KEY
+    only in the big shuffle (two-pass — passage text is fetched for the
+    hot keys afterwards), kept when ≥2 distinct docs share them."""
+    return dd.repeated_passages(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1155,6 +1163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r4 ------------------------------------------------------
+        "repeated_passages": q_repeated_passages,
         "dedup_components_star": q_dedup_components_star,
         "value_percentiles_tdigest": q_value_percentiles_tdigest,  # rows-only
         # --- r4-touched implementations (argmin assignment; checkpoint
@@ -2247,6 +2256,7 @@ WHERE da.source <> db.source""",
         "tfidf_top_terms": textfn.tfidf_top_terms_sql(),
         "dedup_components": _components_sql(),
         "dedup_components_star": _components_star_sql(),
+        "repeated_passages": dd.repeated_passages_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

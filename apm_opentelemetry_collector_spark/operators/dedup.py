@@ -137,6 +137,110 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+PASSAGE_LEN = 40      # normalized chars per passage window
+PASSAGE_STRIDE = 7    # window stride (1 = exact; larger trades recall for volume)
+PASSAGE_MIN_DOCS = 2  # repeated = appears in at least this many distinct docs
+
+
+def repeated_passages(
+    docs: DataFrame,
+    passage_len: int = PASSAGE_LEN,
+    stride: int = PASSAGE_STRIDE,
+    min_docs: int = PASSAGE_MIN_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated passages — the boilerplate/memorization
+    check a curation pass runs before training (headers, license
+    blocks, templated spam share long verbatim substrings that
+    per-document dedup never sees): fixed-length character windows of
+    the normalized text, counted across the corpus, kept when they
+    occur in ≥ min_docs distinct documents.
+
+    TWO-PASS shape so passage TEXT never rides the big shuffle:
+      1. count pass — explode windows map-side, shuffle only the md5
+         KEY (16 fixed bytes, uniform — no skew) for the distinct-doc /
+         total-occurrence counts, filter to hot keys;
+      2. fetch pass — re-explode and join against the (result-bounded)
+         hot-key table to recover one representative passage text per
+         key (min(), deterministic). AQE picks broadcast when the hot
+         set is small, shuffled-hash when it isn't — result cardinality
+         is data-dependent, so no forced hint (the r2 lesson).
+    At 100 TB you additionally raise `stride` (volume falls ∝ 1/stride;
+    recall of passages ≥ passage_len + stride − 1 chars is unaffected
+    because some window still lands inside them at the same normalized
+    offsets only when documents share alignment — for alignment-free
+    matching keep stride ≤ passage_len/2).
+
+    Output: fingerprint (md5 of the passage), passage, n_docs, n_total.
+    """
+    norm = normalized(text_col)
+    base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
+        F.length("norm") >= passage_len
+    )
+    windows = base.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("norm") - (passage_len - 1), F.lit(stride)
+            )
+        ).alias("i"),
+        "norm",
+    ).select(
+        "id",
+        F.substring(F.col("norm"), F.col("i"), F.lit(passage_len)).alias("passage"),
+    )
+    keyed = windows.select(
+        "id", "passage", F.md5(F.col("passage").cast("binary")).alias("fingerprint")
+    )
+    hot = (
+        keyed.groupBy("fingerprint")
+        .agg(
+            F.countDistinct("id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    return (
+        keyed.join(hot, "fingerprint")
+        .groupBy("fingerprint", "n_docs", "n_total")
+        .agg(F.min("passage").alias("passage"))
+        .select("fingerprint", "passage", "n_docs", "n_total")
+    )
+
+
+def repeated_passages_sql(
+    table: str = "documents",
+    passage_len: int = PASSAGE_LEN,
+    stride: int = PASSAGE_STRIDE,
+    min_docs: int = PASSAGE_MIN_DOCS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of repeated_passages (same normalize/window/md5)."""
+    return f"""
+WITH docs_n AS (
+  SELECT {id_col} AS id, trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) AS norm
+  FROM {table}
+), w AS (
+  SELECT id, substr(norm, CAST(i AS INTEGER), {passage_len}) AS passage
+  FROM (SELECT id, norm,
+               unnest(range(1, length(norm) - {passage_len - 2}, {stride})) AS i
+        FROM docs_n WHERE length(norm) >= {passage_len})
+), keyed AS (
+  SELECT id, passage, md5(passage) AS fingerprint FROM w
+), hot AS (
+  SELECT fingerprint,
+         CAST(count(DISTINCT id) AS BIGINT) AS n_docs,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM keyed GROUP BY fingerprint
+  HAVING count(DISTINCT id) >= {min_docs}
+)
+SELECT h.fingerprint, min(k.passage) AS passage, h.n_docs, h.n_total
+FROM keyed k JOIN hot h USING (fingerprint)
+GROUP BY h.fingerprint, h.n_docs, h.n_total"""
+
+
 def minhash_signatures(sh: DataFrame, cfg: MinHashConfig = CI_BANDING) -> DataFrame:
     """MinHash signature per doc: m0..m{n_hashes-1}, each the min over
     shingles of md5('<j>:' || shingle)."""

@@ -247,52 +247,92 @@ COUNTER_DELTA_SCHEMA = T.StructType(
     ]
 )
 
-COUNTER_STATE_SCHEMA = T.StructType([T.StructField("last_value", T.DoubleType())])
+COUNTER_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_value", T.DoubleType()),
+        T.StructField("max_us", T.LongType()),
+        T.StructField("buf_us", T.ArrayType(T.LongType())),
+        T.StructField("buf_val", T.ArrayType(T.DoubleType())),
+    ]
+)
 
 
-def counter_delta_stateful(stream: DataFrame) -> DataFrame:
+def counter_delta_stateful(
+    stream: DataFrame, reorder_delay_s: int = 0
+) -> DataFrame:
     """Streaming twin of operators/rates.counter_delta: cumulative →
     delta with reset handling, per (name, host) series, the LAST value
     carried ACROSS micro-batches — the batch operator's lag window
     becomes one float of keyed state. Inside a batch the differencing
-    is vectorized (pandas shift), seeded by the state for the first
-    row; first point of a series ever → NULL delta (no baseline),
-    decrease → reset → delta = the post-reset value itself.
+    is vectorized (numpy shift), seeded by the state for the first
+    released row; first point of a series ever → NULL delta (no
+    baseline), decrease → reset → delta = the post-reset value itself.
+
+    Counter differencing is ORDER-CRITICAL — a late point processed out
+    of order fabricates a reset — so reorder_delay_s > 0 applies the
+    same watermark-sized reorder buffer as the funnel: points within
+    the delay of the series' max event time wait in keyed state and are
+    differenced in event-time order once the series' clock passes
+    (equality vs batch under shuffled arrival is tested; a terminal
+    heartbeat per series drains the buffer). reorder_delay_s=0 keeps
+    the immediate (ordered-ingest) behavior.
     Expects columns (name, host, ts, value).
     """
+    delay_us = int(reorder_delay_s) * 1_000_000
 
     def diff(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        last = state.get[0] if state.exists else None
+        if state.exists:
+            last, max_us, buf_us, buf_val = state.get
+            buf_us, buf_val = list(buf_us or []), list(buf_val or [])
+        else:
+            last, max_us, buf_us, buf_val = None, 0, [], []
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            vals = pdf["value"].astype(float)
-            prev = vals.shift(1)
-            if last is not None and len(pdf):
-                prev.iloc[0] = last
+            ts_us_all = pdf["ts"].astype("int64").to_numpy() // 1000
+            if len(ts_us_all):
+                max_us = max(max_us, int(ts_us_all.max()))
+            cand_us = np.concatenate(
+                [np.asarray(buf_us, dtype=np.int64), ts_us_all]
+            )
+            cand_val = np.concatenate(
+                [
+                    np.asarray(buf_val, dtype=float),
+                    pdf["value"].to_numpy(dtype=float),
+                ]
+            )
+            ready = cand_us <= max_us - delay_us
+            order = np.argsort(cand_us[ready], kind="stable")
+            us = cand_us[ready][order]
+            vals = cand_val[ready][order]
+            buf_us = [int(x) for x in cand_us[~ready]]
+            buf_val = [float(x) for x in cand_val[~ready]]
+            if not len(us):
+                continue
+            prev = np.empty_like(vals)
+            prev[1:] = vals[:-1]
+            prev[0] = last if last is not None else np.nan
             # no baseline → NULL (nullable Float64, masked — NOT NaN: the
             # batch twin emits NULL and downstream `delta IS NULL` filters
             # and sum/avg must behave identically on both paths); decrease
             # → reset → the value itself
             delta = pd.array(
-                np.where(vals.values >= prev.values, vals.values - prev.values, vals.values),
-                dtype="Float64",
+                np.where(vals >= prev, vals - prev, vals), dtype="Float64"
             )
-            delta[prev.isna().to_numpy()] = pd.NA
-            delta = pd.Series(delta, index=vals.index)
-            out = pd.DataFrame(
+            delta[np.isnan(prev)] = pd.NA
+            last = float(vals[-1])
+            yield pd.DataFrame(
                 {
-                    "name": pdf["name"],
-                    "host": pdf["host"],
-                    "ts": pdf["ts"],
+                    "name": key[0],
+                    "host": key[1],
+                    "ts": pd.to_datetime(us * 1000),
                     "value": vals,
-                    "delta": delta,
+                    "delta": pd.Series(delta),
                 }
             )
-            if len(pdf):
-                last = float(vals.iloc[-1])
-            yield out
-        if last is not None:
-            state.update((last,))
+        state.update(
+            (last, int(max_us), buf_us, buf_val)
+            if last is not None
+            else (None, int(max_us), buf_us, buf_val)
+        )
 
     return stream.groupBy("name", "host").applyInPandasWithState(
         diff,

@@ -468,7 +468,34 @@ def test_star_components_match_minlabel_and_handle_long_chains(spark):
     assert got == {i: 100 for i in range(100, 100 + n)}
 
 
-def test_leakage_safe_split_groups_share_folds(spark):
+def test_repeated_passages_finds_planted_boilerplate(spark):
+    """The cross-document passage counter must flag a license block
+    planted in many documents (regardless of surrounding text), count
+    distinct docs exactly, and stay silent on unique-content docs."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        repeated_passages,
+    )
+
+    license_block = (
+        "this software is provided as is without warranty of any kind "
+        "express or implied including fitness"
+    )
+    rows = []
+    for i in range(8):
+        rows.append((i, f"{license_block} document body number {i} " + "x" * i))
+    for i in range(8, 16):
+        rows.append((i, f"unique content {i} " + " ".join(f"w{i}{j}" for j in range(30))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = repeated_passages(docs, passage_len=40, stride=7, min_docs=3).collect()
+    assert out, "planted boilerplate not found"
+    # the license block's leading window is shared by all 8 planted docs
+    lead = [r for r in out if r["passage"] == license_block[:40]]
+    assert lead and lead[0]["n_docs"] == 8 and lead[0]["n_total"] == 8
+    # nothing from the unique docs: every flagged passage lies in the
+    # shared region (license block + the common filler that follows)
+    shared = f"{license_block} document body number"
+    assert all(r["passage"] in shared for r in out)
     """Exact duplicates (same fingerprint) must land in the SAME fold,
     and the fold ratios must approximate the weights."""
     from apm_opentelemetry_collector_spark.functions.text import fingerprint

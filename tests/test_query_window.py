@@ -25,6 +25,7 @@ EARLIER_ROUNDS = [
 MUST_BE_IN_WINDOW = {
     # new in r4
     "dedup_components_star", "value_percentiles_tdigest",
+    "repeated_passages",
     # implementation touched in r4 (map-side argmin; checkpoint
     # discipline; epoch-floor oracle; scale kwarg)
     "kmeans_assign", "ann_recall", "tune_n_probe", "rate_limit_exceeded",

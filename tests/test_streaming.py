@@ -534,3 +534,116 @@ def test_streaming_weighted_reservoir_matches_batch(spark, tmp_path):
         for r in weighted_reservoir_sample(docs, k, "weight", "doc_id").collect()
     }
     assert final == want and len(final) == k
+
+
+def test_counter_delta_out_of_order_matches_batch(spark, tmp_path):
+    """Counter differencing is order-critical (a late point processed
+    eagerly fabricates a reset). With the reorder buffer sized to the
+    displacement, shuffled arrival must reproduce the batch operator's
+    (ts, value, delta) rows exactly — including true NULL first points."""
+    import datetime as dt
+    import random
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.operators.rates import counter_delta
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        counter_delta_stateful,
+        run_to_memory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    rng = random.Random(11)
+    rows = []
+    for host in ("h0", "h1"):
+        v = 0.0
+        for i in range(30):
+            # climbing counter with two resets per series
+            v = 3.0 if i in (11, 23) else v + rng.randint(1, 9)
+            rows.append(Row(name="m", host=host, ts=sec(i * 5), value=float(v)))
+    arrival = rows[:]
+    rng.shuffle(arrival)
+    # heartbeat far in the future drains each series' buffer
+    barrier = [
+        Row(name="m", host=h, ts=sec(10_000), value=1e9) for h in ("h0", "h1")
+    ]
+    path = str(tmp_path / "ctr_ooo")
+    for b in (arrival[0::3], arrival[1::3], arrival[2::3], barrier):
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    run_to_memory(counter_delta_stateful(stream, reorder_delay_s=600), "ctr_ooo_out")
+    got = {
+        (r["host"], r["ts"]): (r["value"], r["delta"])
+        for r in spark.sql("SELECT * FROM ctr_ooo_out").collect()
+    }
+    batch = spark.createDataFrame(rows + barrier, schema)
+    want = {
+        (r["host"], r["ts"]): (r["value"], r["delta"])
+        for r in counter_delta(batch, ["name", "host"], "ts", "value").collect()
+    }
+    # streaming emitted everything except the still-buffered heartbeats
+    assert set(got) == {k for k in want if k[1] != sec(10_000)}
+    for k, v in got.items():
+        assert v == want[k], (k, v, want[k])
+
+
+def test_streaming_stratified_reservoir_per_group_state(spark, tmp_path):
+    """group_cols path of the streaming reservoir: one bounded reservoir
+    PER STRATUM, each equal to the batch operator run on that stratum."""
+    from pyspark.sql import functions as FF
+
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        weighted_reservoir_sample,
+    )
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        run_to_memory,
+        weighted_reservoir_stateful,
+    )
+    from tests.conftest import SF_TINY
+
+    k = 5
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").select(
+        "source",
+        "doc_id",
+        (FF.length("text") + FF.lit(1)).cast("double").alias("weight"),
+    )
+    pdf = docs.toPandas()
+    path = str(tmp_path / "wrs_strat")
+    for i in range(2):
+        spark.createDataFrame(pdf.iloc[i::2]).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = spark.readStream.schema(docs.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    run_to_memory(
+        weighted_reservoir_stateful(
+            stream, k, "weight", "doc_id", group_cols=["source"]
+        ),
+        "wrs_strat_out",
+    )
+    snaps = spark.sql("SELECT * FROM wrs_strat_out").toPandas()
+    assert snaps.groupby(["source", "snapshot"]).size().max() <= k
+    final = snaps[snaps["snapshot"] == snaps.groupby("source")["snapshot"].transform("max")]
+    for src, grp in final.groupby("source"):
+        want = {
+            str(r["doc_id"])
+            for r in weighted_reservoir_sample(
+                docs.filter(FF.col("source") == src), k, "weight", "doc_id"
+            ).collect()
+        }
+        assert set(grp["id"]) == want, src
