@@ -127,3 +127,45 @@ def merge_resume(
         )
     updates.createOrReplaceTempView(view_name)
     spark.sql(merge_resume_sql(table, view_name))
+
+
+MERGE_KEY = ("conv_id", "turn_idx", "sink")
+
+
+def merge_resume_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: tuple[str, ...] = MERGE_KEY,
+) -> None:
+    """EXECUTED engine-agnostic twin of merge_resume: upsert `updates`
+    into a parquet directory on key_cols — matched keys are replaced,
+    new keys inserted — so a replayed epoch is idempotent at the ROW
+    level, the same contract merge_resume_sql states for Iceberg.
+
+    Plan: left ANTI join the existing table against the distinct update
+    keys (drops matched rows; Catalyst/AQE broadcast the key side when
+    the epoch is small), union the updates, rewrite. Commit is
+    write-to-tmp + directory rename — atomic for readers on a POSIX
+    local FS but NOT against a crash between the two renames; that
+    snapshot-commit atomicity is precisely what the Iceberg layer buys
+    and why this fallback exists for testing the MERGE contract, not as
+    the production sink (object stores also lack atomic dir rename).
+    """
+    import os
+    import shutil
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        updates.write.mode("overwrite").parquet(path)
+        return
+    existing = spark.read.schema(updates.schema).parquet(path)
+    keep = existing.join(
+        updates.select(*key_cols).distinct(), list(key_cols), "left_anti"
+    )
+    merged = keep.unionByName(updates)
+    tmp = path.rstrip("/") + ".__merge_tmp__"
+    merged.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".__old__"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)

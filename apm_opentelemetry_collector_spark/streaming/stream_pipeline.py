@@ -616,6 +616,34 @@ def write_sinks_stream_merge(
     )
 
 
+def write_sinks_stream_upsert(
+    routed: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx", "sink"),
+):
+    """Row-level idempotent streaming sink WITHOUT the Iceberg runtime:
+    foreachBatch upserts each micro-batch into a parquet table on the
+    routed-row identity key (sources/iceberg.merge_resume_parquet) —
+    the executed twin of the MERGE sink's contract: a replayed epoch,
+    or the same rows arriving again in a later epoch, leaves exactly
+    one row per key. Production uses write_sinks_stream_merge (Iceberg
+    snapshot-atomic commit); this fallback's dir-rename commit is the
+    documented weaker guarantee."""
+    from ..sources.iceberg import merge_resume_parquet
+
+    spark = routed.sparkSession
+
+    def upsert_batch(df: DataFrame, epoch_id: int) -> None:
+        merge_resume_parquet(spark, out_dir, df, key_cols)
+
+    return (
+        routed.writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> None:
