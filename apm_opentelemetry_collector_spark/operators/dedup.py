@@ -193,11 +193,17 @@ def repeated_passages(
     keyed = windows.select(
         "id", "passage", F.md5(F.col("passage").cast("binary")).alias("fingerprint")
     )
+    # two-level aggregate instead of countDistinct: the per-(key, doc)
+    # pre-aggregate is map-side combinable and the second level is a
+    # plain count — no distinct-expand, same exact n_docs/n_total
+    per_doc = keyed.groupBy("fingerprint", "id").agg(
+        F.count("*").alias("_cnt")
+    )
     hot = (
-        keyed.groupBy("fingerprint")
+        per_doc.groupBy("fingerprint")
         .agg(
-            F.countDistinct("id").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("n_total"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("_cnt").cast("bigint").alias("n_total"),
         )
         .filter(F.col("n_docs") >= min_docs)
     )
