@@ -109,6 +109,7 @@ def main() -> None:
         # r4 additions
         "dedup_components_star",
         "value_percentiles_tdigest",
+        "repeated_passages",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
