@@ -468,6 +468,50 @@ def test_star_components_match_minlabel_and_handle_long_chains(spark):
     assert got == {i: 100 for i in range(100, 100 + n)}
 
 
+def test_star_components_match_union_find_on_random_graphs(spark):
+    """Seeded random graphs (sparse, dense, and isolated-pair shapes)
+    checked against a Python union-find ground truth — star contraction
+    must produce the exact component-min labeling on all of them."""
+    import random
+
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        dedup_components_star,
+    )
+
+    def union_find(n_ids, edges):
+        parent = {i: i for i in n_ids}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component min = root under min-merge union
+        return {i: find(i) for i in n_ids}
+
+    rng = random.Random(42)
+    shapes = [
+        [(rng.randrange(60), rng.randrange(60)) for _ in range(40)],   # sparse
+        [(rng.randrange(25), rng.randrange(25)) for _ in range(120)],  # dense
+        [(100 + 2 * i, 101 + 2 * i) for i in range(15)],               # pairs
+    ]
+    for edges in shapes:
+        edges = [(a, b) for a, b in edges if a != b]
+        nodes = sorted({x for e in edges for x in e})
+        want = union_find(nodes, edges)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {
+            r["id"]: r["component"]
+            for r in dedup_components_star(pairs).collect()
+        }
+        assert got == want
+
+
 def test_repeated_passages_finds_planted_boilerplate(spark):
     """The cross-document passage counter must flag a license block
     planted in many documents (regardless of surrounding text), count
