@@ -284,3 +284,17 @@ def test_kmeans_assignment_no_sort_no_per_round_window(spark):
         plan = plan_of(kmeans_assign(emb, iters=iters))
         assert "Sort" not in plan, plan
         assert plan.count("Window") == 1, plan
+
+
+def test_repeated_passages_plan_pruned_and_python_free(spark):
+    """The passage counter is pure Column expressions: no Python nodes,
+    and the parquet scan reads only (doc_id, text) — the explode and
+    both aggregation levels stay JVM-side."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        repeated_passages,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(repeated_passages(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
