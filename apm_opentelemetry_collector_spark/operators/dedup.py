@@ -615,6 +615,7 @@ def dedup_components_star(
         return int(row["n"]), int(row["h"])
 
     fp = _fingerprint(edges)
+    converged = False
     for _ in range(max_rounds):
         nxt = _small_star(_large_star(edges)).persist()
         nxt_ck = nxt.checkpoint(eager=True)
@@ -623,8 +624,18 @@ def dedup_components_star(
         edges = nxt_ck
         nfp = _fingerprint(edges)
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged:
+        # A non-star edge set would make the final left join emit
+        # duplicate/incorrect (id, component) rows — loud beats silent.
+        # Practically unreachable: O(log² n) rounds means 20 covers
+        # components far beyond any real corpus.
+        raise RuntimeError(
+            f"dedup_components_star: edge set did not converge within "
+            f"{max_rounds} rounds; raise max_rounds"
+        )
     # converged star graph: every non-root points straight at its
     # component minimum; roots (no outgoing edge) label themselves
     return nodes.join(

@@ -155,6 +155,12 @@ def merge_resume_parquet(
     import os
     import shutil
 
+    old = path.rstrip("/") + ".__old__"
+    # Recover from a crash between the two renames of a prior merge:
+    # a leftover .__old__ with no live `path` IS the last good table
+    # (the crash hit after rename #1, before rename #2).
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         updates.write.mode("overwrite").parquet(path)
         return
@@ -165,7 +171,10 @@ def merge_resume_parquet(
     merged = keep.unionByName(updates)
     tmp = path.rstrip("/") + ".__merge_tmp__"
     merged.write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".__old__"
+    # A stale .__old__ (crash after rename #1 with `path` since
+    # recreated, or crash before the cleanup rmtree) would make the
+    # rename below raise forever; clear it first.
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old, ignore_errors=True)

@@ -525,10 +525,12 @@ def weighted_reservoir_stateful(
     out_schema = T.StructType(out_fields + list(WRS_STREAM_SCHEMA.fields))
 
     def hold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        # seq bumps ONCE per invocation (= per micro-batch per group),
+        # after draining every Arrow chunk of the iterator — a group
+        # split across chunks still emits exactly one snapshot.
         seq, ids, ws, ks = state.get if state.exists else (0, [], [], [])
         ids, ws, ks = list(ids or []), list(ws or []), list(ks or [])
         for pdf in pdfs:
-            seq += 1
             bk = pdf["_key"].to_numpy(dtype=float)
             bi = pdf["_id"].to_numpy(dtype=object)
             bw = pdf["_w"].to_numpy(dtype=float)
@@ -539,17 +541,23 @@ def weighted_reservoir_stateful(
             ck = np.concatenate([np.asarray(ks, dtype=float), bk])
             ci = np.concatenate([np.asarray(ids, dtype=object), bi])
             cw = np.concatenate([np.asarray(ws, dtype=float), bw])
-            # batch-identical total order: key DESC, id ASC
+            # Total order: key DESC, then id ASC as STRING (ids enter
+            # this operator cast to string). The batch operator breaks
+            # key ties in the id column's NATIVE order, which differs
+            # from string order for numeric ids — behavior-neutral in
+            # practice because the ranking key is a 48-bit hash-derived
+            # double, so exact key ties are measure-zero.
             order = np.lexsort((ci.astype(str), -ck))[:k]
             ks = [float(x) for x in ck[order]]
             ids = [str(x) for x in ci[order]]
             ws = [float(x) for x in cw[order]]
-            snap = pd.DataFrame(
-                {"snapshot": seq, "id": ids, "weight": ws, "wrs_key": ks}
-            )
-            for g, v in zip(gcols, key):
-                snap[g] = v
-            yield snap[[*gcols, "snapshot", "id", "weight", "wrs_key"]]
+        seq += 1
+        snap = pd.DataFrame(
+            {"snapshot": seq, "id": ids, "weight": ws, "wrs_key": ks}
+        )
+        for g, v in zip(gcols, key):
+            snap[g] = v
+        yield snap[[*gcols, "snapshot", "id", "weight", "wrs_key"]]
         state.update((int(seq), ids, ws, ks))
 
     return keyed.groupBy(*(gcols or ["_g"])).applyInPandasWithState(

@@ -540,6 +540,9 @@ def test_repeated_passages_finds_planted_boilerplate(spark):
     # shared region (license block + the common filler that follows)
     shared = f"{license_block} document body number"
     assert all(r["passage"] in shared for r in out)
+
+
+def test_leakage_safe_split_groups_share_folds(spark):
     """Exact duplicates (same fingerprint) must land in the SAME fold,
     and the fold ratios must approximate the weights."""
     from apm_opentelemetry_collector_spark.functions.text import fingerprint
