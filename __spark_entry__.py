@@ -1004,6 +1004,16 @@ def q_repeated_passages(spark, sf_dir):
     return dd.repeated_passages(_load(spark, sf_dir, "documents"))
 
 
+def q_repeated_spans(spark, sf_dir):
+    """Variable-length repeated substrings (maximal spans): stride-1
+    16-char seed windows counted by md5 key, hot runs extended per doc
+    via gaps-and-islands, spans ≥24 chars kept when ≥2 docs share them
+    — the distributed seed-and-extend twin of suffix-array/LCP dedup,
+    reporting each memorized span at its FULL extent where the fixed
+    40-char window fragments or misses it."""
+    return dd.repeated_spans(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1162,6 +1172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_query_window.py enforces against both JSONs).
     """
     return {
+        # --- new in r5 ------------------------------------------------------
+        "repeated_spans": q_repeated_spans,
         # --- new in r4 ------------------------------------------------------
         "repeated_passages": q_repeated_passages,
         "dedup_components_star": q_dedup_components_star,
@@ -2257,6 +2269,7 @@ WHERE da.source <> db.source""",
         "dedup_components": _components_sql(),
         "dedup_components_star": _components_star_sql(),
         "repeated_passages": dd.repeated_passages_sql(),
+        "repeated_spans": dd.repeated_spans_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

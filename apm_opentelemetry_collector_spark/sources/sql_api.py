@@ -47,3 +47,51 @@ def register_views(
     # digest aggregates: approximate quantiles composable from pure SQL
     names += register_digest_sql(spark)
     return names
+
+
+def tdigest_quantiles_sql(
+    table: str,
+    value_col: str,
+    group_cols: tuple[str, ...] | list[str] = (),
+    qs: tuple[float, ...] = (0.5, 0.95),
+    n_salt: int = 32,
+    salt_expr: str | None = None,
+) -> str:
+    """Generate the SAFE two-level salted form of a SQL digest-quantile
+    query, so the scalable idiom is the easy form (r4 VERDICT #3).
+
+    The naive `tdigest_quantile(tdigest_agg(v))  GROUP BY g` ships every
+    raw value of a group to ONE aggregator — Spark grouped-agg pandas
+    UDFs do no partial aggregation, so a 100-TB group is an OOM trap.
+    The generated query bounds each aggregator instead: the inner level
+    builds one digest per (group, salt) over ~1/n_salt of the rows; the
+    outer level merges n_salt O(delta)-sized digests per group; the
+    final select evaluates every requested quantile against the merged
+    digest (one row per group × q, columns [*group_cols, q, est]).
+
+    Requires register_views/register_digest_sql to have registered the
+    aggregates. salt_expr overrides the default row-hash salt (e.g. a
+    monotonic id column for better balance); n_salt sizes the inner
+    fan-out — the per-aggregator input is |group| / n_salt rows.
+    """
+    if not (qs and all(0.0 <= float(q) <= 1.0 for q in qs)):
+        raise ValueError("qs must be non-empty quantiles in [0, 1]")
+    gsel = "".join(f"{g}, " for g in group_cols)
+    salt = salt_expr or f"abs(hash({value_col})) % {int(n_salt)}"
+    inner_by = ", ".join([*group_cols, salt])
+    outer_by = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
+    qs_rows = ", ".join(f"({float(q)})" for q in qs)
+    order_by = ", ".join([*group_cols, "q"])
+    return f"""\
+SELECT {gsel}q, tdigest_quantile(d, q) AS est
+FROM (
+  SELECT {gsel}tdigest_merge_agg(pd) AS d
+  FROM (
+    SELECT {gsel}tdigest_agg({value_col}) AS pd
+    FROM {table}
+    GROUP BY {inner_by}
+  )
+  {outer_by}
+)
+CROSS JOIN (SELECT q FROM VALUES {qs_rows} AS _q(q))
+ORDER BY {order_by}"""

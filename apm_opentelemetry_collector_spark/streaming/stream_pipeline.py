@@ -258,7 +258,9 @@ COUNTER_STATE_SCHEMA = T.StructType(
 
 
 def counter_delta_stateful(
-    stream: DataFrame, reorder_delay_s: int = 0
+    stream: DataFrame,
+    reorder_delay_s: int = 0,
+    state_ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming twin of operators/rates.counter_delta: cumulative →
     delta with reset handling, per (name, host) series, the LAST value
@@ -276,11 +278,26 @@ def counter_delta_stateful(
     (equality vs batch under shuffled arrival is tested; a terminal
     heartbeat per series drains the buffer). reorder_delay_s=0 keeps
     the immediate (ordered-ingest) behavior.
+
+    state_ttl_s bounds the KEY-SET cardinality (per-key state is already
+    O(1 + buffer)): a series idle longer than the TTL is evicted from
+    the state store (ProcessingTimeTimeout), so months of churning
+    series don't grow state linearly — the streaming analog of the
+    reference collector's capacity-bounded queues
+    (exporter/omnishard/encoder.go:163-166). A series reviving AFTER
+    eviction is a NEW series: its first point gets a NULL delta (no
+    baseline) and any reorder buffer it had is dropped — choose the TTL
+    longer than the longest legitimate series gap. None = never evict
+    (the pre-r5 behavior).
     Expects columns (name, host, ts, value).
     """
     delay_us = int(reorder_delay_s) * 1_000_000
+    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
 
     def diff(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             last, max_us, buf_us, buf_val = state.get
             buf_us, buf_val = list(buf_us or []), list(buf_val or [])
@@ -333,13 +350,17 @@ def counter_delta_stateful(
             if last is not None
             else (None, int(max_us), buf_us, buf_val)
         )
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
 
     return stream.groupBy("name", "host").applyInPandasWithState(
         diff,
         COUNTER_DELTA_SCHEMA,
         COUNTER_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -390,6 +411,7 @@ def funnel_stateful(
     stream: DataFrame,
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     reorder_delay_s: int = 0,
+    state_ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming twin of analytics.funnel_stages: per-user funnel
     progress as keyed state across micro-batches; one row emitted per
@@ -407,12 +429,23 @@ def funnel_stateful(
 
     The advance itself is vectorized (numpy flatnonzero per step, no
     per-row Python — the r3 review's last per-row loop).
+
+    state_ttl_s evicts users idle longer than the TTL — completed OR
+    stalled — keeping the state store's KEY count proportional to the
+    active-user window instead of all users ever seen. A user whose
+    events resume after eviction restarts the funnel from step 0 (may
+    re-emit early steps); choose the TTL longer than the funnel's
+    conversion horizon. None = never evict (the pre-r5 behavior).
     Expects columns (user_id, event_type, ts).
     """
     delay_us = int(reorder_delay_s) * 1_000_000
+    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
     step_of = {s: i for i, s in enumerate(steps)}
 
     def advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             reached, last_us, max_us, buf_us, buf_step = state.get
             buf_us = list(buf_us or [])
@@ -449,13 +482,17 @@ def funnel_stateful(
                     }
                 )
         state.update((int(reached), int(last_us), int(max_us), buf_us, buf_step))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
 
     return stream.groupBy("user_id").applyInPandasWithState(
         advance,
         FUNNEL_EVENT_SCHEMA,
         FUNNEL_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout,
     )
 
 
@@ -484,6 +521,7 @@ def weighted_reservoir_stateful(
     weight_col: str,
     id_col: str = "doc_id",
     group_cols: list[str] | None = None,
+    state_ttl_s: float | None = None,
 ) -> DataFrame:
     """Streaming twin of sample.weighted_reservoir_sample — A-ES over an
     unbounded stream with BOUNDED keyed state (NOTES r4 candidate #2 /
@@ -509,6 +547,11 @@ def weighted_reservoir_stateful(
     group_cols=None keeps ONE global reservoir (single-key state — the
     semantic twin of the batch global top-k); pass strata (e.g. source)
     to shard state and emit one reservoir per stratum at scale.
+
+    state_ttl_s evicts strata idle longer than the TTL (their ≤k-row
+    reservoirs are dropped), bounding the state store by the ACTIVE
+    stratum count under stratum churn; an evicted stratum restarts
+    from an empty reservoir on revival. None = never evict.
     """
     from ..operators.sample import _u48
 
@@ -524,7 +567,12 @@ def weighted_reservoir_stateful(
     out_fields = [T.StructField(f.name, f.dataType) for f in keyed.schema.fields if f.name in gcols]
     out_schema = T.StructType(out_fields + list(WRS_STREAM_SCHEMA.fields))
 
+    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
+
     def hold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if ttl_ms and state.hasTimedOut:
+            state.remove()
+            return
         # seq bumps ONCE per invocation (= per micro-batch per group),
         # after draining every Arrow chunk of the iterator — a group
         # split across chunks still emits exactly one snapshot.
@@ -559,13 +607,17 @@ def weighted_reservoir_stateful(
             snap[g] = v
         yield snap[[*gcols, "snapshot", "id", "weight", "wrs_key"]]
         state.update((int(seq), ids, ws, ks))
+        if ttl_ms:
+            state.setTimeoutDuration(ttl_ms)
 
     return keyed.groupBy(*(gcols or ["_g"])).applyInPandasWithState(
         hold,
         out_schema,
         WRS_STREAM_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms
+        else GroupStateTimeout.NoTimeout,
     )
 
 

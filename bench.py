@@ -70,18 +70,6 @@ def main() -> None:
     queries: dict[str, float] = {}
 
     t0 = time.time()
-    # the sandbox VM shows 2-3× run-to-run variance; report the best of two
-    # e2e runs (input generated once, job re-run against a fresh out dir)
-    runs = []
-    workdir = tempfile.mkdtemp(prefix="bench_")
-    try:
-        for _ in range(2):
-            runs.append(time_pipeline_e2e(spark, BENCH_ROWS, workdir))
-    finally:
-        shutil.rmtree(workdir, ignore_errors=True)
-    e2e = min(runs)
-    queries["pipeline_e2e_synth"] = round(e2e, 3)
-
     headline = [
         "transcripts_derive",
         "sink_outcome_counts",
@@ -116,23 +104,51 @@ def main() -> None:
     # instead of poisoning one number. A fresh DataFrame per rep — timing
     # the same object twice reuses shuffle outputs (skipped stages).
     # Expensive queries stop repeating once past QUERY_BUDGET_S so the
-    # whole bench stays under ~5 minutes.
+    # whole bench stays under ~5 minutes. The flagship e2e rides INSIDE
+    # this round-robin (r4 VERDICT #1): its reps are spread across the
+    # whole bench window with a wider budget, so the recorded minimum
+    # samples 3 well-separated instants of host load instead of two
+    # adjacent ones — under the documented 3-5× contention spikes, the
+    # minimum of spread samples tracks quiet-machine capacity.
     REPS = 3
     QUERY_BUDGET_S = 45.0
+    SOFT_DEADLINE_S = 420.0
+    E2E = "pipeline_e2e_synth"
+    workdir = tempfile.mkdtemp(prefix="bench_")
     qmap = entry.queries()
-    times: dict[str, list[float]] = {name: [] for name in headline}
-    for _rep in range(REPS):
-        for name in headline:
-            if times[name] and sum(times[name]) + times[name][-1] > QUERY_BUDGET_S:
-                continue
-            t = time.time()
-            # count() forces the full plan without driver-side row transfer
-            qmap[name](spark, SF_DIR).count()
-            times[name].append(time.time() - t)
-    for name in headline:
+    loop = [E2E] + headline
+    times: dict[str, list[float]] = {name: [] for name in loop}
+    try:
+        for _rep in range(REPS):
+            for name in loop:
+                n = len(times[name])
+                if n >= REPS:
+                    continue
+                if name != E2E:
+                    # Budget caps use the MINIMUM so far and only after 2
+                    # reps: a contention spike on rep 1 must neither lock
+                    # in the spiky number nor stop the retry that would
+                    # correct it (the flagship e2e is exempt entirely —
+                    # its recorded minimum IS the headline).
+                    if n >= 2 and sum(times[name]) + min(times[name]) > QUERY_BUDGET_S:
+                        continue
+                    if n >= 1 and time.time() - t0 > SOFT_DEADLINE_S:
+                        continue
+                if name == E2E:
+                    times[name].append(
+                        time_pipeline_e2e(spark, BENCH_ROWS, workdir)
+                    )
+                    continue
+                t = time.time()
+                # count() forces the full plan without driver row transfer
+                qmap[name](spark, SF_DIR).count()
+                times[name].append(time.time() - t)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    e2e = min(times[E2E])
+    for name in loop:
         queries[name] = round(min(times[name]), 3)
-    reps = {name: len(times[name]) for name in headline}
-    reps["pipeline_e2e_synth"] = len(runs)
+    reps = {name: len(times[name]) for name in loop}
 
     total = round(time.time() - t0, 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]

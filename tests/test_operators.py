@@ -644,3 +644,47 @@ def test_sliding_rate_window_boundaries(spark):
     got = {(r["user_id"], r["ts"]): r["n_in_window"]
            for r in sliding_rate_exceeded(ev, ["user_id"], "ts", 60, 1).collect()}
     assert got == {(1, t(60)): 2, (1, t(120)): 2}
+
+
+def test_repeated_spans_finds_variable_length_boilerplate(spark):
+    """Seed-and-extend must recover planted boilerplate at its FULL
+    maximal length: a 25-char block (shorter than the 40-char fixed
+    window — repeated_passages structurally misses it) and a ~90-char
+    block (the fixed window only reports 40-char fragments), each
+    planted in several docs with unique flanking text; unique-content
+    docs contribute nothing."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        repeated_passages,
+        repeated_spans,
+    )
+
+    short_block = "short legal header block"          # 24 norm chars
+    long_block = (
+        "this software is provided as is without warranty of any kind "
+        "express or implied including"
+    )  # 90 norm chars
+    rows = []
+    for i in range(5):
+        rows.append((i, f"alpha{i}{i} {short_block} omega{i}{i}"))
+    for i in range(5, 10):
+        rows.append((i, f"intro{i}{i} {long_block} outro{i}{i}"))
+    for i in range(10, 16):
+        rows.append(
+            (i, " ".join(f"w{i}x{j}q" for j in range(30)))  # unique filler
+        )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = repeated_spans(docs, seed_len=16, min_len=20, min_docs=3).collect()
+    spans = {r["span"]: r for r in out}
+    assert short_block in spans, sorted(spans)
+    assert spans[short_block]["n_docs"] == 5
+    assert spans[short_block]["span_len"] == len(short_block)
+    assert long_block in spans
+    assert spans[long_block]["n_docs"] == 5
+    assert spans[long_block]["span_len"] == len(long_block)
+    # maximality: nothing shorter/fragmented reported for those docs
+    assert len(spans) == 2
+    # and the fixed 40-char window indeed cannot see the short block
+    fixed = repeated_passages(docs, passage_len=40, stride=7, min_docs=3).collect()
+    assert all(short_block not in r["passage"] for r in fixed)
+    assert all(len(r["passage"]) == 40 for r in fixed)  # long block fragments

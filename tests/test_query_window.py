@@ -19,10 +19,12 @@ import __spark_entry__ as entrymod
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EARLIER_ROUNDS = [
-    os.path.join(_ROOT, f"CORRECTNESS_r{i:02d}.json") for i in (2, 3)
+    os.path.join(_ROOT, f"CORRECTNESS_r{i:02d}.json") for i in (2, 3, 4)
 ]
 
 MUST_BE_IN_WINDOW = {
+    # new in r5
+    "repeated_spans",
     # new in r4
     "dedup_components_star", "value_percentiles_tdigest",
     "repeated_passages",

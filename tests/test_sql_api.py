@@ -89,3 +89,64 @@ def test_sql_digest_aggregates_compose_and_stay_arrow(spark):
                 assert lo - 1e-9 <= src[etype][col] <= hi + 1e-9, (
                     etype, col, src[etype][col], lo, hi,
                 )
+
+
+def test_tdigest_quantiles_sql_generator_matches_engine_path(spark):
+    """r4 VERDICT #3: the generated two-level salted SQL must (a) agree
+    with the engine-path tdigest_quantiles within the sketch's rank
+    tolerance, (b) contain NO naive single-level aggregate over raw
+    values (the inner GROUP BY carries the salt), and (c) work with and
+    without group columns."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.tdigest import (
+        register_digest_sql,
+        tdigest_quantiles,
+    )
+    from apm_opentelemetry_collector_spark.sources.sql_api import (
+        tdigest_quantiles_sql,
+    )
+
+    register_digest_sql(spark)
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    ev.createOrReplaceTempView("ev_gen")
+
+    qs = (0.5, 0.95)
+    sql = tdigest_quantiles_sql(
+        "ev_gen", "value", ("event_type",), qs, n_salt=8,
+        salt_expr="pmod(xxhash64(event_id), 8)",
+    )
+    # the unsafe form never appears: every tdigest_agg group carries the salt
+    inner = sql.split("GROUP BY")[1]
+    assert "xxhash64" in inner or "hash(" in inner
+    got = {(r["event_type"], r["q"]): r["est"] for r in spark.sql(sql).collect()}
+
+    eng = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in tdigest_quantiles(
+            ev, "value", ["event_type"], "event_id", qs
+        ).collect()
+    }
+    assert set(got) == set(eng)
+
+    # both estimators must land within ±0.05 RANK of each other's value
+    # on the exact distribution (value-space comparison over-tightens)
+    vals_by_type = {
+        r["event_type"]: np.sort(np.array(r["vals"]))
+        for r in spark.sql(
+            "SELECT event_type, collect_list(value) AS vals "
+            "FROM ev_gen GROUP BY event_type"
+        ).collect()
+    }
+    for (et, q), est in got.items():
+        vals = vals_by_type[et]
+        rank_sql = np.searchsorted(vals, est) / len(vals)
+        rank_eng = np.searchsorted(vals, eng[(et, q)]) / len(vals)
+        assert abs(rank_sql - q) <= 0.05, (et, q)
+        assert abs(rank_sql - rank_eng) <= 0.05, (et, q)
+
+    # global (no group columns) form parses and returns one row per q
+    g = spark.sql(tdigest_quantiles_sql("ev_gen", "value", (), qs, n_salt=8))
+    rows = g.collect()
+    assert [r["q"] for r in rows] == sorted(qs)
+    assert all(r["est"] is not None for r in rows)

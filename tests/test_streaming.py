@@ -647,3 +647,192 @@ def test_streaming_stratified_reservoir_per_group_state(spark, tmp_path):
             ).collect()
         }
         assert set(grp["id"]) == want, src
+
+
+def _state_rows(q):
+    """numRowsTotal of the (single) state operator in the most recent
+    progress that actually reported one."""
+    for p in reversed(q.recentProgress):
+        ops = p.get("stateOperators") if isinstance(p, dict) else p["stateOperators"]
+        if ops:
+            return ops[0]["numRowsTotal"]
+    return None
+
+
+def test_funnel_state_ttl_evicts_idle_users(spark, tmp_path):
+    """With state_ttl_s set, users idle past the TTL are EVICTED: the
+    state-store row count stays at the active-wave size under churning
+    keys (not cumulative), and an evicted user restarts the funnel
+    (re-emits step 1). VERDICT r4 'next round' #2."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        funnel_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    path = str(tmp_path / "fun_ttl_in")
+    wave1 = [Row(user_id=i, event_type="view", ts=t0) for i in range(20)]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    out = funnel_stateful(stream, state_ttl_s=1.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("fun_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_after_w1 = _state_rows(q)
+        _time.sleep(2.5)  # idle past the 1 s TTL
+        # wave 2: 20 FRESH users plus user 0 returning after eviction
+        wave2 = [
+            Row(user_id=100 + i, event_type="view", ts=t0 + dt.timedelta(seconds=9))
+            for i in range(20)
+        ] + [Row(user_id=0, event_type="view", ts=t0 + dt.timedelta(seconds=9))]
+        spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(
+            path
+        )
+        q.processAllAvailable()
+        rows_after_w2 = _state_rows(q)
+    finally:
+        q.stop()
+
+    assert rows_after_w1 == 20
+    # wave-1 users evicted; only wave-2's 21 keys remain (flat, not 41)
+    assert rows_after_w2 == 21
+    got = spark.sql("SELECT * FROM fun_ttl_out").toPandas()
+    # evicted user 0 RESTARTED the funnel: two step-1 rows
+    assert len(got[(got["user_id"] == 0) & (got["step_idx"] == 1)]) == 2
+
+
+def test_counter_delta_state_ttl_evicts_idle_series(spark, tmp_path):
+    """Series idle past the TTL are evicted; a revived series is a NEW
+    series (NULL-delta first point), and the key count stays at the
+    active-wave size under series churn."""
+    import datetime as dt
+    import time as _time
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        counter_delta_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    path = str(tmp_path / "ctr_ttl_in")
+    wave1 = [
+        Row(name=f"m{i}", host="h", ts=sec(j), value=float(10 * j))
+        for i in range(10)
+        for j in range(2)
+    ]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    q = (
+        counter_delta_stateful(stream, state_ttl_s=1.0)
+        .writeStream.format("memory")
+        .queryName("ctr_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_after_w1 = _state_rows(q)
+        _time.sleep(2.5)
+        # wave 2: fresh series + series m0 reviving with a LOWER value —
+        # with state alive that would read as a reset (delta=5); after
+        # eviction it is a NEW series → NULL delta
+        wave2 = [
+            Row(name=f"n{i}", host="h", ts=sec(60), value=1.0) for i in range(10)
+        ] + [Row(name="m0", host="h", ts=sec(60), value=5.0)]
+        spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(
+            path
+        )
+        q.processAllAvailable()
+        rows_after_w2 = _state_rows(q)
+    finally:
+        q.stop()
+
+    assert rows_after_w1 == 10
+    assert rows_after_w2 == 11  # wave-1 series gone, not 21
+    got = spark.sql("SELECT * FROM ctr_ttl_out WHERE name='m0'").toPandas()
+    revived = got[got["value"] == 5.0]["delta"]
+    assert len(revived) == 1 and revived.isna().all()
+
+
+def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
+    """Strata idle past the TTL drop their reservoirs: state rows track
+    the ACTIVE stratum count under churn."""
+    import time as _time
+
+    from pyspark.sql import functions as FF
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        weighted_reservoir_stateful,
+    )
+
+    path = str(tmp_path / "wrs_ttl_in")
+    w1 = spark.range(100).select(
+        (FF.col("id") % 10).cast("string").alias("source"),
+        FF.col("id").cast("string").alias("doc_id"),
+        (FF.col("id") + 1).cast("double").alias("weight"),
+    )
+    w1.coalesce(1).write.mode("append").parquet(path)
+
+    stream = spark.readStream.schema(w1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(path)
+    q = (
+        weighted_reservoir_stateful(
+            stream, 5, "weight", "doc_id", group_cols=["source"], state_ttl_s=1.0
+        )
+        .writeStream.format("memory")
+        .queryName("wrs_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows_after_w1 = _state_rows(q)
+        _time.sleep(2.5)
+        w2 = spark.range(100, 140).select(
+            ((FF.col("id") % 4) + 100).cast("string").alias("source"),
+            FF.col("id").cast("string").alias("doc_id"),
+            (FF.col("id") + 1).cast("double").alias("weight"),
+        )
+        w2.coalesce(1).write.mode("append").parquet(path)
+        q.processAllAvailable()
+        rows_after_w2 = _state_rows(q)
+    finally:
+        q.stop()
+
+    assert rows_after_w1 == 10
+    assert rows_after_w2 == 4  # the 10 wave-1 strata evicted
