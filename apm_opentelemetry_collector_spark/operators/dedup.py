@@ -297,6 +297,10 @@ def repeated_spans(
     base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
         F.length("norm") >= seed_len
     )
+    # the seed KEY is the raw seed_len-char substring, not a hash: at 16
+    # chars the text is SMALLER than its md5 hex and costs no digest —
+    # repeated_passages hashes because its 40-char windows are bigger
+    # than the 16-byte key; here the raw seed wins on both volume and CPU
     windows = base.select(
         "id",
         F.explode(
@@ -306,9 +310,7 @@ def repeated_spans(
     ).select(
         "id",
         "i",
-        F.md5(
-            F.substring(F.col("norm"), F.col("i"), seed_len).cast("binary")
-        ).alias("fp"),
+        F.substring(F.col("norm"), F.col("i"), seed_len).alias("fp"),
     )
     per_doc = windows.groupBy("fp", "id").agg(F.count("*").alias("_c"))
     hot = (
@@ -317,7 +319,7 @@ def repeated_spans(
         .filter(F.col("_nd") >= min_docs)
         .select("fp")
     )
-    hot_pos = windows.join(hot, "fp").select("id", "i")
+    hot_pos = windows.join(hot, "fp", "left_semi").select("id", "i")
     grp = F.col("i") - F.row_number().over(
         Window.partitionBy("id").orderBy("i")
     )
@@ -332,6 +334,16 @@ def repeated_spans(
         )
         .filter(F.col("span_len") >= min_len)
     )
+    # islands is bounded by the corpus's REPEATED content (tiny next to
+    # the stride-1 window explode above it); both downstream branches
+    # (support count + text fetch) reuse it, so cut the lineage here —
+    # persist → reliable checkpoint → unpersist, the repo-wide
+    # discipline (survives executor loss, doesn't pin executor memory)
+    ensure_checkpoint_dir(docs.sparkSession.sparkContext)
+    islands = islands.persist()
+    islands_ck = islands.checkpoint(eager=True)
+    islands.unpersist()
+    islands = islands_ck
     spans = islands.join(base, "id").select(
         "id",
         "span_len",
@@ -378,7 +390,7 @@ WITH docs_n AS (
   FROM {table}
 ), w AS (
   SELECT id, CAST(i AS INTEGER) AS i,
-         md5(substr(norm, CAST(i AS INTEGER), {seed_len})) AS fp
+         substr(norm, CAST(i AS INTEGER), {seed_len}) AS fp
   FROM (SELECT id, norm,
                unnest(range(1, length(norm) - {seed_len - 2}, 1)) AS i
         FROM docs_n WHERE length(norm) >= {seed_len})

@@ -98,6 +98,8 @@ def main() -> None:
         "dedup_components_star",
         "value_percentiles_tdigest",
         "repeated_passages",
+        # r5 additions
+        "repeated_spans",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -676,12 +676,17 @@ def test_repeated_spans_finds_variable_length_boilerplate(spark):
 
     out = repeated_spans(docs, seed_len=16, min_len=20, min_docs=3).collect()
     spans = {r["span"]: r for r in out}
-    assert short_block in spans, sorted(spans)
-    assert spans[short_block]["n_docs"] == 5
-    assert spans[short_block]["span_len"] == len(short_block)
-    assert long_block in spans
-    assert spans[long_block]["n_docs"] == 5
-    assert spans[long_block]["span_len"] == len(long_block)
+    # MAXIMAL extent: the recovered span is the full shared substring —
+    # the planted block plus the shared flank fragments (" " before,
+    # "omega"/"outro" prefix after), ending exactly where docs diverge
+    short_span = f" {short_block} omega"
+    long_span = f" {long_block} outro"
+    assert short_span in spans, sorted(spans)
+    assert spans[short_span]["n_docs"] == 5
+    assert spans[short_span]["span_len"] == len(short_span)
+    assert long_span in spans
+    assert spans[long_span]["n_docs"] == 5
+    assert spans[long_span]["span_len"] == len(long_span)
     # maximality: nothing shorter/fragmented reported for those docs
     assert len(spans) == 2
     # and the fixed 40-char window indeed cannot see the short block
