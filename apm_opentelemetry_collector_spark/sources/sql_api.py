@@ -83,7 +83,7 @@ def tdigest_quantiles_sql(
     qs_rows = ", ".join(f"({float(q)})" for q in qs)
     order_by = ", ".join([*group_cols, "q"])
     return f"""\
-SELECT {gsel}q, tdigest_quantile(d, q) AS est
+SELECT {gsel}CAST(q AS DOUBLE) AS q, tdigest_quantile(d, CAST(q AS DOUBLE)) AS est
 FROM (
   SELECT {gsel}tdigest_merge_agg(pd) AS d
   FROM (

@@ -649,21 +649,44 @@ def test_streaming_stratified_reservoir_per_group_state(spark, tmp_path):
         assert set(grp["id"]) == want, src
 
 
-def _state_rows(q):
-    """numRowsTotal of the (single) state operator in the most recent
-    progress that actually reported one."""
-    for p in reversed(q.recentProgress):
-        ops = p.get("stateOperators") if isinstance(p, dict) else p["stateOperators"]
-        if ops:
-            return ops[0]["numRowsTotal"]
+# --- state TTL (r4 VERDICT #2) ----------------------------------------------
+# NOTE: with ProcessingTimeTimeout the engine schedules micro-batches
+# continuously while any timeout is registered, and processAllAvailable
+# never latches noNewData — so these tests POLL the memory sink and the
+# progress metrics instead of calling processAllAvailable.
+
+
+def _wait_for(pred, timeout_s=90.0, step_s=0.2):
+    import time as _time
+
+    deadline = _time.time() + timeout_s
+    while _time.time() < deadline:
+        v = pred()
+        if v:
+            return v
+        _time.sleep(step_s)
     return None
 
 
+def _wait_state_rows(q, expected, timeout_s=90.0):
+    """Poll lastProgress until the state operator reports exactly
+    `expected` rows; returns that count or None on timeout."""
+
+    def check():
+        p = q.lastProgress
+        ops = p.get("stateOperators") if p else None
+        if ops and ops[0]["numRowsTotal"] == expected:
+            return ops[0]["numRowsTotal"]
+        return None
+
+    return _wait_for(check, timeout_s)
+
+
 def test_funnel_state_ttl_evicts_idle_users(spark, tmp_path):
-    """With state_ttl_s set, users idle past the TTL are EVICTED: the
-    state-store row count stays at the active-wave size under churning
-    keys (not cumulative), and an evicted user restarts the funnel
-    (re-emits step 1). VERDICT r4 'next round' #2."""
+    """With state_ttl_s set, users idle past the TTL are EVICTED: under
+    churning keys the state-store row count settles at the ACTIVE wave
+    size (not cumulative), and an evicted user restarts the funnel
+    (re-emits step 1)."""
     import datetime as dt
     import time as _time
 
@@ -689,16 +712,18 @@ def test_funnel_state_ttl_evicts_idle_users(spark, tmp_path):
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
     )
-    out = funnel_stateful(stream, state_ttl_s=1.0)
     q = (
-        out.writeStream.format("memory")
+        funnel_stateful(stream, state_ttl_s=1.0)
+        .writeStream.format("memory")
         .queryName("fun_ttl_out")
         .outputMode("append")
         .start()
     )
     try:
-        q.processAllAvailable()
-        rows_after_w1 = _state_rows(q)
+        n1 = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM fun_ttl_out").first()[0] == 20
+        )
+        assert n1, "wave-1 output never arrived"
         _time.sleep(2.5)  # idle past the 1 s TTL
         # wave 2: 20 FRESH users plus user 0 returning after eviction
         wave2 = [
@@ -708,22 +733,22 @@ def test_funnel_state_ttl_evicts_idle_users(spark, tmp_path):
         spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(
             path
         )
-        q.processAllAvailable()
-        rows_after_w2 = _state_rows(q)
+        n2 = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM fun_ttl_out").first()[0] == 41
+        )
+        assert n2, "wave-2 output never arrived"
+        # churn bound: wave-1's 20 users evicted, only wave-2's 21 remain
+        assert _wait_state_rows(q, 21) == 21
+        got = spark.sql("SELECT * FROM fun_ttl_out").toPandas()
     finally:
         q.stop()
-
-    assert rows_after_w1 == 20
-    # wave-1 users evicted; only wave-2's 21 keys remain (flat, not 41)
-    assert rows_after_w2 == 21
-    got = spark.sql("SELECT * FROM fun_ttl_out").toPandas()
     # evicted user 0 RESTARTED the funnel: two step-1 rows
     assert len(got[(got["user_id"] == 0) & (got["step_idx"] == 1)]) == 2
 
 
 def test_counter_delta_state_ttl_evicts_idle_series(spark, tmp_path):
     """Series idle past the TTL are evicted; a revived series is a NEW
-    series (NULL-delta first point), and the key count stays at the
+    series (NULL-delta first point), and the key count settles at the
     active-wave size under series churn."""
     import datetime as dt
     import time as _time
@@ -764,33 +789,35 @@ def test_counter_delta_state_ttl_evicts_idle_series(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
-        rows_after_w1 = _state_rows(q)
+        n1 = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM ctr_ttl_out").first()[0] == 20
+        )
+        assert n1, "wave-1 output never arrived"
         _time.sleep(2.5)
         # wave 2: fresh series + series m0 reviving with a LOWER value —
-        # with state alive that would read as a reset (delta=5); after
-        # eviction it is a NEW series → NULL delta
+        # with state alive that would read as a reset (delta = 5.0);
+        # after eviction it is a NEW series → NULL delta
         wave2 = [
             Row(name=f"n{i}", host="h", ts=sec(60), value=1.0) for i in range(10)
         ] + [Row(name="m0", host="h", ts=sec(60), value=5.0)]
         spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(
             path
         )
-        q.processAllAvailable()
-        rows_after_w2 = _state_rows(q)
+        n2 = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM ctr_ttl_out").first()[0] == 31
+        )
+        assert n2, "wave-2 output never arrived"
+        assert _wait_state_rows(q, 11) == 11  # wave-1 series gone, not 21
+        got = spark.sql("SELECT * FROM ctr_ttl_out WHERE name='m0'").toPandas()
     finally:
         q.stop()
-
-    assert rows_after_w1 == 10
-    assert rows_after_w2 == 11  # wave-1 series gone, not 21
-    got = spark.sql("SELECT * FROM ctr_ttl_out WHERE name='m0'").toPandas()
     revived = got[got["value"] == 5.0]["delta"]
     assert len(revived) == 1 and revived.isna().all()
 
 
 def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
-    """Strata idle past the TTL drop their reservoirs: state rows track
-    the ACTIVE stratum count under churn."""
+    """Strata idle past the TTL drop their reservoirs: state rows settle
+    at the ACTIVE stratum count under stratum churn."""
     import time as _time
 
     from pyspark.sql import functions as FF
@@ -820,8 +847,11 @@ def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
-        rows_after_w1 = _state_rows(q)
+        # wave 1: 10 strata × reservoir of 5 = 50 snapshot rows
+        n1 = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM wrs_ttl_out").first()[0] == 50
+        )
+        assert n1, "wave-1 snapshots never arrived"
         _time.sleep(2.5)
         w2 = spark.range(100, 140).select(
             ((FF.col("id") % 4) + 100).cast("string").alias("source"),
@@ -829,10 +859,10 @@ def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
             (FF.col("id") + 1).cast("double").alias("weight"),
         )
         w2.coalesce(1).write.mode("append").parquet(path)
-        q.processAllAvailable()
-        rows_after_w2 = _state_rows(q)
+        n2 = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM wrs_ttl_out").first()[0] == 70
+        )
+        assert n2, "wave-2 snapshots never arrived"
+        assert _wait_state_rows(q, 4) == 4  # the 10 wave-1 strata evicted
     finally:
         q.stop()
-
-    assert rows_after_w1 == 10
-    assert rows_after_w2 == 4  # the 10 wave-1 strata evicted
