@@ -1004,6 +1004,22 @@ def q_repeated_passages(spark, sf_dir):
     return dd.repeated_passages(_load(spark, sf_dir, "documents"))
 
 
+def q_ewma_anomalies(spark, sf_dir):
+    """Batch EWMA anomaly detection over events.value per event_type
+    (ordered by ts, event_id): vectorized truncated-Horner folds — no
+    per-row state, no Python — the batch twin of the streaming
+    ewma_anomalies operator; z from the PRE-update mean/var so a spike
+    can't mask itself."""
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        ewma_anomalies_batch,
+    )
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return ewma_anomalies_batch(
+        ev, ["event_type"], ["ts", "event_id"], "value"
+    )
+
+
 def q_repeated_spans(spark, sf_dir):
     """Variable-length repeated substrings (maximal spans): stride-1
     16-char seed windows counted by md5 key, hot runs extended per doc
@@ -1174,6 +1190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
+        "ewma_anomalies": q_ewma_anomalies,
         # --- new in r4 ------------------------------------------------------
         "repeated_passages": q_repeated_passages,
         "dedup_components_star": q_dedup_components_star,
@@ -1821,6 +1838,17 @@ SELECT doc_id, frame_idx, n_frames,
 FROM b GROUP BY doc_id, frame_idx, n_frames"""
 
 
+def _ewma_sql() -> str:
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        ewma_anomalies_sql,
+    )
+
+    # same WHERE as q_ewma_anomalies: NULL values never enter the fold
+    return ewma_anomalies_sql(
+        "(SELECT * FROM events WHERE value IS NOT NULL) _ev"
+    )
+
+
 def _outliers_sql() -> str:
     from apm_opentelemetry_collector_spark.operators.outliers import (
         robust_zscore_sql,
@@ -2270,6 +2298,7 @@ WHERE da.source <> db.source""",
         "dedup_components_star": _components_star_sql(),
         "repeated_passages": dd.repeated_passages_sql(),
         "repeated_spans": dd.repeated_spans_sql(),
+        "ewma_anomalies": _ewma_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

@@ -115,3 +115,155 @@ SELECT d.{id_col}, d.{group_col}, d.v AS value,
        round(({MAD_SCALE} * (d.v - d._med)) / a._mad, 6) AS z
 FROM dev d JOIN mad a USING ({group_col})
 WHERE a._mad > 0 AND abs(({MAD_SCALE} * (d.v - d._med)) / a._mad) > {z_cut}"""
+
+
+# --- EWMA anomaly detection, batch form -------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_K = 3.0
+EWMA_MIN_POINTS = 5
+
+
+def _ewma_window(alpha: float, eps: float = 1e-12) -> int:
+    """Smallest W with (1-alpha)^W <= eps: contributions older than W
+    steps are below eps relative weight, so the truncated fold's error
+    is bounded by ~2·eps·max|x| (derivation in ewma_anomalies_batch)."""
+    import math
+
+    return max(2, int(math.ceil(math.log(eps) / math.log(1.0 - alpha))))
+
+
+def ewma_anomalies_batch(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+    alpha: float = EWMA_ALPHA,
+    k: float = EWMA_K,
+    min_points: int = EWMA_MIN_POINTS,
+    window: int | None = None,
+) -> DataFrame:
+    """Batch twin of streaming/stream_pipeline.ewma_anomalies with NO
+    per-row state (r4 VERDICT #6): the sequential recurrences
+
+        m_t = (1-α)·m_{t-1} + α·x_t          (m_0 = x_0)
+        v_t = (1-α)·(v_{t-1} + α·d_t²)       (v_0 = 0, d_t = x_t − m_{t-1})
+
+    are linear with CONSTANT coefficient β = 1-α, so the dependence on
+    anything older than W steps carries weight β^W. The batch form
+    folds only the last W points per row (collect_list over a ROWS
+    window + F.aggregate — a JVM Catalyst higher-order function, no
+    Python, no applyInPandas): Horner's rule seeded with the oldest
+    in-window value reproduces the recurrence exactly for rows with
+    t < W and truncates it for older rows with error
+
+        |m̂_t − m_t| = β^W·|m_{t-W} − x_{t-W}| ≤ 2·β^W·max|x| ,
+        |v̂_t − v_t| = β^W·v_{t-W}            ≤ β^W·max d²
+
+    — below double precision for the default W (β^W ≤ 1e-12). The
+    z-score uses the PRE-UPDATE state like the streaming operator
+    (z_t from m_{t-1}, v_{t-1}; 0 during the min_points warm-up), so a
+    spike cannot mask itself. Per-row cost is O(W); every row folds
+    independently — embarrassingly parallel, no sequential barrier.
+
+    Output: key_cols..., order_cols..., value, zscore, is_anomaly.
+    """
+    from pyspark.sql import Window
+
+    beta = 1.0 - alpha
+    W = window or _ewma_window(alpha)
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    arr_w = w.rowsBetween(-(W - 1), 0)
+
+    x = F.col(value_col).cast("double")
+    arr = F.collect_list(x).over(arr_w)
+    mean_incl = F.aggregate(
+        F.slice(arr, 2, W),
+        F.element_at(arr, 1),
+        lambda acc, v: F.lit(beta) * acc + F.lit(alpha) * v,
+    )
+    base = df.select(*key_cols, *order_cols, x.alias("value")).withColumn(
+        "_mean", mean_incl
+    )
+    d = F.col("value") - F.lag("_mean").over(w)
+    g = F.coalesce(
+        F.lit(beta) * F.lit(alpha) * d * d, F.lit(0.0)
+    )  # t=0 has no prior mean → g=0 (v_0 = 0)
+    base = base.withColumn("_g", g)
+    garr = F.collect_list("_g").over(arr_w)
+    var_incl = F.aggregate(
+        garr, F.lit(0.0), lambda acc, gv: F.lit(beta) * acc + gv
+    )
+    base = (
+        base.withColumn("_var", var_incl)
+        .withColumn("_mean_prev", F.lag("_mean").over(w))
+        .withColumn("_var_prev", F.lag("_var").over(w))
+        .withColumn("_n_before", F.row_number().over(w) - 1)
+    )
+    z = F.when(
+        (F.col("_n_before") >= min_points) & (F.col("_var_prev") > 0),
+        (F.col("value") - F.col("_mean_prev")) / F.sqrt("_var_prev"),
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        *key_cols,
+        *order_cols,
+        "value",
+        z.alias("zscore"),
+        (F.abs(z) > k).alias("is_anomaly"),
+    )
+
+
+def ewma_anomalies_sql(
+    table: str = "events",
+    key_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+    value_col: str = "value",
+    alpha: float = EWMA_ALPHA,
+    k: float = EWMA_K,
+    min_points: int = EWMA_MIN_POINTS,
+    window: int | None = None,
+) -> str:
+    """DuckDB twin of ewma_anomalies_batch: the same truncated Horner
+    folds via windowed list() + list_reduce, identical op order so the
+    doubles bit-match the Spark fold."""
+    beta = 1.0 - alpha
+    W = window or _ewma_window(alpha)
+    ob = ", ".join(order_cols)
+    return f"""
+WITH base AS (
+  SELECT {key_col}, {ob}, CAST({value_col} AS DOUBLE) AS value
+  FROM {table}
+), m AS (
+  SELECT *, list_reduce(
+           list(value) OVER (PARTITION BY {key_col} ORDER BY {ob}
+                             ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW),
+           (acc, v) -> {beta!r} * acc + {alpha!r} * v) AS _mean
+  FROM base
+), dg AS (
+  SELECT *, coalesce(
+           {beta!r} * {alpha!r}
+             * (value - lag(_mean) OVER (PARTITION BY {key_col} ORDER BY {ob}))
+             * (value - lag(_mean) OVER (PARTITION BY {key_col} ORDER BY {ob})),
+           0.0) AS _g
+  FROM m
+), v AS (
+  SELECT *, list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list(_g) OVER (PARTITION BY {key_col} ORDER BY {ob}
+                            ROWS BETWEEN {W - 1} PRECEDING AND CURRENT ROW)),
+           (acc, g) -> {beta!r} * acc + g) AS _var
+  FROM dg
+), s AS (
+  SELECT *,
+         lag(_mean) OVER (PARTITION BY {key_col} ORDER BY {ob}) AS _mean_prev,
+         lag(_var)  OVER (PARTITION BY {key_col} ORDER BY {ob}) AS _var_prev,
+         row_number() OVER (PARTITION BY {key_col} ORDER BY {ob}) - 1 AS _n_before
+  FROM v
+)
+SELECT {key_col}, {ob}, value,
+       CASE WHEN _n_before >= {min_points} AND _var_prev > 0
+            THEN (value - _mean_prev) / sqrt(_var_prev) ELSE 0.0 END AS zscore,
+       CASE WHEN _n_before >= {min_points} AND _var_prev > 0
+            THEN abs((value - _mean_prev) / sqrt(_var_prev)) > {k!r}
+            ELSE FALSE END AS is_anomaly
+FROM s"""

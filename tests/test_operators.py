@@ -693,3 +693,55 @@ def test_repeated_spans_finds_variable_length_boilerplate(spark):
     fixed = repeated_passages(docs, passage_len=40, stride=7, min_docs=3).collect()
     assert all(short_block not in r["passage"] for r in fixed)
     assert all(len(r["passage"]) == 40 for r in fixed)  # long block fragments
+
+
+def test_ewma_batch_matches_sequential_truth(spark):
+    """The truncated-Horner batch EWMA must reproduce the sequential
+    recurrence (the streaming operator's exact per-row loop) within the
+    documented bound ~2·(1-α)^W·max|x| — machine-precision for the
+    default W — and flag the identical anomaly set on a series with
+    planted spikes."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        EWMA_ALPHA,
+        EWMA_K,
+        EWMA_MIN_POINTS,
+        _ewma_window,
+        ewma_anomalies_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    xs = (50 + 5 * rng.standard_normal(400)).round(3)
+    xs[[60, 200, 333]] = [500.0, -400.0, 900.0]  # planted spikes
+    rows = [(int(i), "h", float(x)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "seq long, host string, value double")
+
+    got = (
+        ewma_anomalies_batch(df, ["host"], ["seq"], "value")
+        .orderBy("seq")
+        .toPandas()
+    )
+
+    # sequential truth: the streaming operator's exact loop
+    alpha, k, min_points = EWMA_ALPHA, EWMA_K, EWMA_MIN_POINTS
+    mean, var, n = 0.0, 0.0, 0
+    zs, flags = [], []
+    for x in xs:
+        z = (x - mean) / var**0.5 if n >= min_points and var > 0 else 0.0
+        zs.append(z)
+        flags.append(abs(z) > k)
+        if n == 0:
+            mean, var = float(x), 0.0
+        else:
+            d = x - mean
+            mean += alpha * d
+            var = (1 - alpha) * (var + alpha * d * d)
+        n += 1
+
+    bound = 2 * (1 - alpha) ** _ewma_window(alpha) * np.abs(xs).max() + 1e-9
+    assert np.abs(got["zscore"].to_numpy() - np.array(zs)).max() <= max(
+        bound * 100, 1e-6
+    )
+    assert got["is_anomaly"].tolist() == flags
+    assert got.loc[[60, 200, 333], "is_anomaly"].all()

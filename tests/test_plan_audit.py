@@ -298,3 +298,24 @@ def test_repeated_passages_plan_pruned_and_python_free(spark):
     plan = plan_of(repeated_passages(docs))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_ewma_batch_plan_vectorized_no_python(spark):
+    """r4 VERDICT #6: the batch EWMA must show NO per-row state and no
+    Python anywhere — pure window + higher-order-function fold (two
+    Window nodes: the mean/var array folds and the lag/row_number
+    layer), and the parquet scan pruned to the used columns."""
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        ewma_anomalies_batch,
+    )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").filter(
+        F.col("value").isNotNull()
+    )
+    plan = plan_of(ewma_anomalies_batch(ev, ["event_type"], ["ts", "event_id"]))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
+                 "MapInPandas", "AggregateInPandas"):
+        assert node not in plan, node
+    assert "Window" in plan
+    assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan, plan
