@@ -866,3 +866,69 @@ def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
         assert _wait_state_rows(q, 4) == 4  # the 10 wave-1 strata evicted
     finally:
         q.stop()
+
+
+def test_funnel_ttl_equals_no_timeout_on_active_window(spark, tmp_path):
+    """With a TTL longer than the stream's lifetime nothing is evicted:
+    the TTL'd operator must emit EXACTLY the no-timeout operator's
+    output (same advances, same timestamps) — idle eviction changes
+    nothing for keys inside the active window."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        funnel_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    path = str(tmp_path / "fun_eq_in")
+    # two micro-batches: users advance across the batch boundary
+    b1 = [Row(user_id=u, event_type="view", ts=sec(u)) for u in range(8)]
+    b1 += [Row(user_id=u, event_type="click", ts=sec(20 + u)) for u in range(4)]
+    b2 = [Row(user_id=u, event_type="purchase", ts=sec(40 + u)) for u in range(2)]
+    b2 += [Row(user_id=u, event_type="click", ts=sec(60 + u)) for u in (4, 5)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(b2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    def run(name, ttl):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            funnel_stateful(stream, state_ttl_s=ttl)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            if ttl:
+                # processAllAvailable never latches with pending
+                # processing-time timeouts — poll the sink instead
+                assert _wait_for(
+                    lambda: spark.sql(f"SELECT count(*) FROM {name}").first()[0]
+                    >= 16
+                )
+            else:
+                q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(
+            map(tuple, spark.sql(f"SELECT * FROM {name}").collect())
+        )
+
+    base = run("fun_eq_none", None)
+    ttl = run("fun_eq_ttl", 3600.0)
+    assert base == ttl and len(base) == 16
