@@ -100,6 +100,7 @@ def main() -> None:
         "repeated_passages",
         # r5 additions
         "repeated_spans",
+        "ewma_anomalies",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
@@ -113,7 +114,7 @@ def main() -> None:
     # adjacent ones — under the documented 3-5× contention spikes, the
     # minimum of spread samples tracks quiet-machine capacity.
     REPS = 3
-    QUERY_BUDGET_S = 45.0
+    QUERY_BUDGET_S = 40.0
     SOFT_DEADLINE_S = 420.0
     E2E = "pipeline_e2e_synth"
     workdir = tempfile.mkdtemp(prefix="bench_")
