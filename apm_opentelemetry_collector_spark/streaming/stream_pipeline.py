@@ -261,6 +261,7 @@ def counter_delta_stateful(
     stream: DataFrame,
     reorder_delay_s: int = 0,
     state_ttl_s: float | None = None,
+    ttl_clock: str = "processing",
 ) -> DataFrame:
     """Streaming twin of operators/rates.counter_delta: cumulative →
     delta with reset handling, per (name, host) series, the LAST value
@@ -289,10 +290,20 @@ def counter_delta_stateful(
     baseline) and any reorder buffer it had is dropped — choose the TTL
     longer than the longest legitimate series gap. None = never evict
     (the pre-r5 behavior).
+
+    ttl_clock picks the idle clock: "processing" (wall time since the
+    series was last seen — live-ingest housekeeping) or "event" (the
+    series' max EVENT time falls ttl behind the stream's watermark —
+    the right clock when replaying history, where wall time says
+    nothing; requires the caller to set withWatermark on ts, and
+    eviction only advances as the watermark does).
     Expects columns (name, host, ts, value).
     """
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(f"ttl_clock must be processing|event, got {ttl_clock}")
     delay_us = int(reorder_delay_s) * 1_000_000
     ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
+    event_ttl = ttl_ms and ttl_clock == "event"
 
     def diff(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if ttl_ms and state.hasTimedOut:
@@ -350,17 +361,29 @@ def counter_delta_stateful(
             if last is not None
             else (None, int(max_us), buf_us, buf_val)
         )
-        if ttl_ms:
+        if event_ttl:
+            # evict when the watermark passes the series' own clock +
+            # TTL; the target must sit strictly above the current
+            # watermark or Spark rejects it (late-arriving series)
+            state.setTimeoutTimestamp(
+                max(max_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif ttl_ms:
             state.setTimeoutDuration(ttl_ms)
 
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_ms:
+        timeout = (
+            GroupStateTimeout.EventTimeTimeout
+            if event_ttl
+            else GroupStateTimeout.ProcessingTimeTimeout
+        )
     return stream.groupBy("name", "host").applyInPandasWithState(
         diff,
         COUNTER_DELTA_SCHEMA,
         COUNTER_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms
-        else GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 
@@ -412,6 +435,7 @@ def funnel_stateful(
     steps: tuple[str, ...] = ("view", "click", "purchase"),
     reorder_delay_s: int = 0,
     state_ttl_s: float | None = None,
+    ttl_clock: str = "processing",
 ) -> DataFrame:
     """Streaming twin of analytics.funnel_stages: per-user funnel
     progress as keyed state across micro-batches; one row emitted per
@@ -436,10 +460,16 @@ def funnel_stateful(
     events resume after eviction restarts the funnel from step 0 (may
     re-emit early steps); choose the TTL longer than the funnel's
     conversion horizon. None = never evict (the pre-r5 behavior).
+    ttl_clock: "processing" (wall-clock idle) or "event" (the user's
+    max event time falls ttl behind the watermark — the right clock
+    when replaying history; caller must set withWatermark on ts).
     Expects columns (user_id, event_type, ts).
     """
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(f"ttl_clock must be processing|event, got {ttl_clock}")
     delay_us = int(reorder_delay_s) * 1_000_000
     ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
+    event_ttl = ttl_ms and ttl_clock == "event"
     step_of = {s: i for i, s in enumerate(steps)}
 
     def advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
@@ -482,17 +512,26 @@ def funnel_stateful(
                     }
                 )
         state.update((int(reached), int(last_us), int(max_us), buf_us, buf_step))
-        if ttl_ms:
+        if event_ttl:
+            state.setTimeoutTimestamp(
+                max(max_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif ttl_ms:
             state.setTimeoutDuration(ttl_ms)
 
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_ms:
+        timeout = (
+            GroupStateTimeout.EventTimeTimeout
+            if event_ttl
+            else GroupStateTimeout.ProcessingTimeTimeout
+        )
     return stream.groupBy("user_id").applyInPandasWithState(
         advance,
         FUNNEL_EVENT_SCHEMA,
         FUNNEL_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms
-        else GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 
@@ -552,6 +591,10 @@ def weighted_reservoir_stateful(
     reservoirs are dropped), bounding the state store by the ACTIVE
     stratum count under stratum churn; an evicted stratum restarts
     from an empty reservoir on revival. None = never evict.
+    Processing-time only: the reservoir's keyed projection carries no
+    event-time column (the ranking key is arrival-order independent by
+    construction), so there is no event clock to evict by — unlike the
+    funnel/counter-delta operators' ttl_clock="event" option.
     """
     from ..operators.sample import _u48
 

@@ -932,3 +932,75 @@ def test_funnel_ttl_equals_no_timeout_on_active_window(spark, tmp_path):
     base = run("fun_eq_none", None)
     ttl = run("fun_eq_ttl", 3600.0)
     assert base == ttl and len(base) == 16
+
+
+def test_funnel_event_time_ttl_evicts_by_watermark(spark, tmp_path):
+    """ttl_clock='event': eviction follows the WATERMARK, not wall
+    time — replaying months of history evicts users whose own event
+    clock falls ttl behind the stream's, regardless of how fast the
+    replay runs. A user touched within the event-time TTL survives the
+    same watermark advance that evicts the idle ones. (EventTimeTimeout
+    fires on watermark movement, so processAllAvailable terminates —
+    unlike the processing-time tests above.)"""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        funnel_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    path = str(tmp_path / "fun_ettl_in")
+    # wave 1 at t0; wave 2 at t0+300 s — far beyond the 30 s event TTL.
+    # user 0 is touched again in wave 2 BEFORE its timeout can fire
+    # (watermark only reaches t0+290 after wave 2), so it survives;
+    # users 1-9 are idle in event time and are evicted.
+    wave1 = [Row(user_id=i, event_type="view", ts=sec(0)) for i in range(10)]
+    wave2 = [
+        Row(user_id=100 + i, event_type="view", ts=sec(300)) for i in range(5)
+    ] + [Row(user_id=0, event_type="view", ts=sec(300))]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        funnel_stateful(stream, state_ttl_s=30.0, ttl_clock="event")
+        .writeStream.format("memory")
+        .queryName("fun_ettl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = None
+        for p in reversed(q.recentProgress):
+            ops = p["stateOperators"] if not isinstance(p, dict) else p.get("stateOperators")
+            if ops:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+        got = spark.sql("SELECT * FROM fun_ettl_out").toPandas()
+    finally:
+        q.stop()
+
+    # user 0 survived (touched within TTL of the watermark); users 1-9
+    # evicted; the 5 fresh users remain → 6 keys
+    assert state_rows == 6
+    # outputs: 10 wave-1 advances + 5 fresh-user advances; user 0's
+    # second view is NOT an advance (still at step 1, state intact)
+    assert len(got) == 15
+    assert len(got[(got["user_id"] == 0) & (got["step_idx"] == 1)]) == 1
