@@ -1004,3 +1004,68 @@ def test_funnel_event_time_ttl_evicts_by_watermark(spark, tmp_path):
     # second view is NOT an advance (still at step 1, state intact)
     assert len(got) == 15
     assert len(got[(got["user_id"] == 0) & (got["step_idx"] == 1)]) == 1
+
+
+def test_counter_delta_event_time_ttl_evicts_by_watermark(spark, tmp_path):
+    """Counter-delta twin of the event-clock test: series idle in EVENT
+    time beyond the TTL are evicted when the watermark passes; a series
+    touched within the TTL keeps its baseline across the same advance."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        counter_delta_stateful,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    sec = lambda s: t0 + dt.timedelta(seconds=s)
+    path = str(tmp_path / "ctr_ettl_in")
+    wave1 = [
+        Row(name=f"m{i}", host="h", ts=sec(0), value=10.0) for i in range(8)
+    ]
+    # m0 touched again within the (watermark-relative) TTL → baseline
+    # kept: 25-10=15 delta; m1-m7 idle → evicted
+    wave2 = [Row(name="m0", host="h", ts=sec(300), value=25.0)] + [
+        Row(name=f"n{i}", host="h", ts=sec(300), value=1.0) for i in range(3)
+    ]
+    spark.createDataFrame(wave1, schema).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(wave2, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        counter_delta_stateful(stream, state_ttl_s=30.0, ttl_clock="event")
+        .writeStream.format("memory")
+        .queryName("ctr_ettl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = None
+        for p in reversed(q.recentProgress):
+            ops = p["stateOperators"] if not isinstance(p, dict) else p.get("stateOperators")
+            if ops:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+        got = spark.sql("SELECT * FROM ctr_ettl_out").toPandas()
+    finally:
+        q.stop()
+
+    assert state_rows == 4  # m0 + n0..n2
+    m0 = got[(got["name"] == "m0") & (got["value"] == 25.0)]["delta"]
+    assert len(m0) == 1 and float(m0.iloc[0]) == 15.0  # baseline survived
