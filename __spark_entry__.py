@@ -1004,6 +1004,18 @@ def q_repeated_passages(spark, sf_dir):
     return dd.repeated_passages(_load(spark, sf_dir, "documents"))
 
 
+def q_pq_knn(spark, sf_dir):
+    """Product-quantization ANN (ADC): per-subspace Lloyd codebooks →
+    one map-side encode fold → broadcast-query asymmetric distances →
+    per-query top-k. The memory-bounded production ANN: a 64-dim float
+    vector compresses to 4 small ints before the scan."""
+    from apm_opentelemetry_collector_spark.operators.similarity import pq_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = pq_knn(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.withColumn("adc_d2", F.round("adc_d2", 6))
+
+
 def q_ewma_anomalies(spark, sf_dir):
     """Batch EWMA anomaly detection over events.value per event_type
     (ordered by ts, event_id): vectorized truncated-Horner folds — no
@@ -1191,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
+        "pq_knn": q_pq_knn,
         # --- new in r4 ------------------------------------------------------
         "repeated_passages": q_repeated_passages,
         "dedup_components_star": q_dedup_components_star,
@@ -1806,6 +1819,105 @@ def _kmeans_sql(k: int | None = None, iters: int | None = None, dim: int = 64) -
     )
 
 
+def _pq_sql(
+    k: int = 5,
+    m_subspaces: int | None = None,
+    n_codes: int | None = None,
+    iters: int | None = None,
+    dim: int = 64,
+) -> str:
+    """Unrolled-CTE twin of operators/similarity.pq_knn: per subspace
+    the same fixed Lloyd rounds as _kmeans_sql over the SLICED
+    subvectors; codes = the a{iters} assignment, ADC codebook =
+    c{iters-1}; distance = left-to-right sum of the m dot-composed
+    squared-L2 subspace terms — bit-identical to the Spark fold."""
+    from apm_opentelemetry_collector_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+    )
+
+    m_subspaces = m_subspaces or PQ_M
+    n_codes = n_codes or PQ_CODES
+    iters = iters or PQ_ITERS
+    sub = dim // m_subspaces
+    ctes = [
+        "pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    for m in range(m_subspaces):
+        lo, hi = m * sub + 1, (m + 1) * sub
+        d2 = (
+            "(list_dot_product(p.v, p.v) + list_dot_product(c.c, c.c)"
+            " - 2.0 * list_dot_product(p.v, c.c))"
+        )
+        ctes.append(f"sub{m} AS (SELECT id, v[{lo}:{hi}] AS v FROM pts)")
+        ctes.append(
+            f"""c0_{m} AS (
+  SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cluster, v AS c
+  FROM (SELECT id, v FROM sub{m} ORDER BY id ASC LIMIT {n_codes})
+)"""
+        )
+        for i in range(1, iters + 1):
+            ctes.append(
+                f"""a{i}_{m} AS (
+  SELECT id, v, cluster FROM (
+    SELECT p.id, p.v, c.cluster,
+           row_number() OVER (PARTITION BY p.id ORDER BY {d2} ASC, c.cluster ASC) AS rn
+    FROM sub{m} p, c{i - 1}_{m} c
+  ) WHERE rn = 1
+)"""
+            )
+            if i < iters:
+                ctes.append(
+                    f"""m{i}_{m} AS (
+  SELECT cluster, CAST(j AS INTEGER) AS pos,
+         CAST(sum(CAST(v[CAST(j AS INTEGER) + 1] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+  FROM a{i}_{m}, range(0, {sub}) t(j) GROUP BY cluster, pos
+)"""
+                )
+                ctes.append(
+                    f"c{i}_{m} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM m{i}_{m} GROUP BY cluster)"
+                )
+    joins = " ".join(
+        f"JOIN a{iters}_{m} e{m} USING (id)" for m in range(1, m_subspaces)
+    )
+    code_sel = ", ".join(
+        (f"e{m}.cluster AS code{m}" if m else "e0.cluster AS code0")
+        for m in range(m_subspaces)
+    )
+    ctes.append(
+        f"enc AS (SELECT e0.id, {code_sel} FROM a{iters}_0 e0 {joins})"
+    )
+    ctes.append("q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 5)")
+    book_joins = " ".join(
+        f"JOIN c{iters - 1}_{m} b{m} ON b{m}.cluster = e.code{m}"
+        for m in range(m_subspaces)
+    )
+    terms = " + ".join(
+        f"(list_dot_product(q.qv[{m * sub + 1}:{(m + 1) * sub}], q.qv[{m * sub + 1}:{(m + 1) * sub}])"
+        f" + list_dot_product(b{m}.c, b{m}.c)"
+        f" - 2.0 * list_dot_product(q.qv[{m * sub + 1}:{(m + 1) * sub}], b{m}.c))"
+        for m in range(m_subspaces)
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT q.query_id, e.id AS neighbor_id, {terms} AS adc_d2
+  FROM enc e {book_joins} CROSS JOIN q
+  WHERE q.query_id <> e.id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}"""
+    )
+
+
 def _frame_sample_sql() -> str:
     """Oracle twin of sample_frames∘synth_video: frame f of doc d has
     bytes md5('d:f')×2, so its checksum is (2·Σ md5-bytes) mod 65536 —
@@ -2299,6 +2411,7 @@ WHERE da.source <> db.source""",
         "repeated_passages": dd.repeated_passages_sql(),
         "repeated_spans": dd.repeated_spans_sql(),
         "ewma_anomalies": _ewma_sql(),
+        "pq_knn": _pq_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

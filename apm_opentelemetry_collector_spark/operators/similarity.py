@@ -322,3 +322,219 @@ def hyperplane_lsh_knn(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+# --- Product quantization (ADC) ---------------------------------------------
+
+PQ_M = 4        # subspaces (dim must divide evenly)
+PQ_CODES = 4    # codebook size per subspace
+PQ_ITERS = 2    # Lloyd rounds per codebook (lowest-id seeding)
+
+
+def pq_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subspaces: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization approximate top-k with asymmetric distance
+    (ADC) — the memory-bounded production ANN (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    each vector is split into m subvectors, each quantized to an
+    n_codes-entry codebook, so a D-dim float vector compresses to m
+    small ints and the scan touches codes, not floats.
+
+    Spark shape, stage by stage:
+      * codebook training: per subspace, the SAME deterministic Lloyd
+        loop as operators/clustering.kmeans_assign (lowest-id seeding,
+        decimal-exact means, strict-< tie-to-lower-cluster fold) over
+        F.slice'd subvectors — m × iters tiny aggregates;
+      * encoding: ONE map-side pass — the m codebooks collapse to m
+        broadcast array rows and every corpus vector folds over each to
+        pick its m codes; no shuffle, no join (the same argmin-fold
+        discipline the k-means plan audit enforces);
+      * ADC: queries broadcast; each (corpus, query) pair sums the m
+        exact subspace distances ||q_m − c_{m,code_m}||² via map lookup
+        into the broadcast codebooks — floats never leave the closed
+        set of (query, codebook) pairs;
+      * top-k: one shuffle of (query_id, neighbor_id, d2) into a
+        per-query WindowGroupLimit — codes and codebooks pruned before
+        the exchange.
+
+    Every arithmetic step (decimal centroid means, dot-composed squared
+    L2, left-to-right subspace sum) bit-matches the unrolled-CTE DuckDB
+    twin (__spark_entry__._pq_sql), so the driver hash-verifies the full
+    train→encode→search pipeline exactly.
+
+    Output: query_id, neighbor_id, rank, adc_d2 (ascending distance,
+    ties to the lower neighbor id; self-pairs excluded).
+    """
+    from .clustering import CENTROID_DECIMAL, _dist2
+
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
+    sub = dim // m_subspaces
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    )
+
+    # train ALL m codebooks in one pass per Lloyd round: the corpus
+    # explodes once into (id, m, sv) and each round is one map-side
+    # fold (all m codebooks in a single broadcast map) + one
+    # decimal-exact mean aggregate keyed by (m, cluster) — the corpus
+    # is scanned once per ROUND, not once per subspace per round.
+    # Semantics per subspace are identical to kmeans_assign (lowest-id
+    # seeding, strict-< tie-to-lower-cluster, decimal means), so the
+    # unrolled per-subspace oracle still bit-matches.
+    sub_pts = base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col("v"), m * sub + 1, sub).alias("sv"),
+                    )
+                    for m in range(m_subspaces)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+    seed_w = Window.partitionBy("m").orderBy(F.col("id").asc())
+    cents = (
+        sub_pts.withColumn("_rn", F.row_number().over(seed_w))
+        .filter(F.col("_rn") <= n_codes)
+        .select("m", (F.col("_rn") - 1).alias("cluster"), F.col("sv").alias("c"))
+    )
+    acc0 = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cluster"))
+
+    def _assign_all(cents_df):
+        books_map = cents_df.groupBy("m").agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("bk")
+        ).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("m").alias("key"), F.col("bk").alias("value")))
+            ).alias("_books")
+        )
+
+        def step(acc, x):
+            d2 = _dist2(F.col("sv"), x["c"])
+            return F.when(
+                d2 < acc["d2"],
+                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
+            ).otherwise(acc)
+
+        return sub_pts.crossJoin(F.broadcast(books_map)).select(
+            "id",
+            "m",
+            "sv",
+            F.aggregate(
+                F.element_at(F.col("_books"), F.col("m")), acc0, step
+            )["cluster"].alias("cluster"),
+        )
+
+    def _means_all(assigned):
+        comp = assigned.select(
+            "m", "cluster", F.posexplode("sv").alias("pos", "x")
+        )
+        mm = comp.groupBy("m", "cluster", "pos").agg(
+            (
+                F.sum(F.col("x").cast(CENTROID_DECIMAL)).cast("double")
+                / F.count("*")
+            ).alias("mu")
+        )
+        return (
+            mm.groupBy("m", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select(
+                "m", "cluster", F.transform("pm", lambda s: s["mu"]).alias("c")
+            )
+        )
+
+    for _ in range(iters - 1):
+        cents = _means_all(_assign_all(cents))
+
+    # the trained codebooks are m_subspaces × n_codes tiny rows at the
+    # end of the lazy Lloyd chain — run that chain ONCE to a reliable
+    # checkpoint (persist → checkpoint → unpersist, the repo
+    # discipline); every downstream branch (one per subspace, the
+    # self-pair filter, the top-k) then reads 16 literal rows instead
+    # of re-executing training.
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
+    cents = cents.persist()
+    cents_ck = cents.checkpoint(eager=True)
+    cents.unpersist()
+    cents = cents_ck
+
+    # encode: one map-side fold per subspace over broadcast codebooks
+    enc = base
+    for m in range(m_subspaces):
+        arr = (
+            cents.filter(F.col("m") == m)
+            .agg(
+                F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias(
+                    f"_b{m}"
+                )
+            )
+        )
+        enc = enc.crossJoin(F.broadcast(arr))
+
+    def code_expr(m: int):
+        sv = F.slice(F.col("v"), m * sub + 1, sub)
+
+        def step(acc, x):
+            d2 = _dist2(sv, x["c"])
+            return F.when(
+                d2 < acc["d2"],
+                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
+            ).otherwise(acc)
+
+        return F.aggregate(F.col(f"_b{m}"), acc0, step)["cluster"]
+
+    enc = enc.select(
+        "id",
+        *[F.col(f"_b{m}") for m in range(m_subspaces)],
+        *[code_expr(m).alias(f"_code{m}") for m in range(m_subspaces)],
+    )
+
+    # ADC: broadcast queries; distance = Σ_m ||q_m − c_{m,code_m}||²
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    pairs = enc.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("id")
+    )
+    d2 = None
+    for m in range(m_subspaces):
+        lookup = F.element_at(
+            F.map_from_entries(
+                F.transform(
+                    F.col(f"_b{m}"),
+                    lambda s: F.struct(
+                        s["cluster"].alias("key"), s["c"].alias("value")
+                    ),
+                )
+            ),
+            F.col(f"_code{m}"),
+        )
+        term = _dist2(F.slice(F.col("qv"), m * sub + 1, sub), lookup)
+        d2 = term if d2 is None else d2 + term
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.select(
+            "query_id", F.col("id").alias("neighbor_id"), d2.alias("adc_d2")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )

@@ -101,6 +101,7 @@ def main() -> None:
         # r5 additions
         "repeated_spans",
         "ewma_anomalies",
+        "pq_knn",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -92,3 +92,46 @@ def test_tune_n_probe_picks_smallest_sufficient(spark):
     # unreachable target → widest/highest-recall candidate wins
     row = tune_n_probe(emb, qs, target_recall=1.01, candidates=(1, 2), k=10).collect()[0]
     assert row["n_probe"] in (1, 2) and row["recall"] <= 1.0
+
+
+def test_pq_knn_codes_bounded_and_orders_by_adc(spark):
+    """PQ structural properties: full top-k per query, self excluded,
+    ADC distances non-decreasing within a query, deterministic ties.
+    Quality: with 4×16-dim codebooks the ADC top-5 must overlap the
+    exact L2 top-5 (the oracle guarantees exactness of the PIPELINE;
+    this guards the semantics being a meaningful ANN at all)."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.functions.vectors import as_double
+    from apm_opentelemetry_collector_spark.operators.similarity import pq_knn
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = pq_knn(emb, queries, k=5).toPandas()
+
+    assert len(out) == 25 and set(out["query_id"]) == set(range(5))
+    assert (out["query_id"] != out["neighbor_id"]).all()
+    for _, g in out.groupby("query_id"):
+        d = g.sort_values("rank")["adc_d2"].to_numpy()
+        assert (np.diff(d) >= 0).all()
+
+    # quality on CONTROLLED data (the sf corpus is near-uniform, where
+    # any 8-bit quantizer is noise — not a meaningful quality probe):
+    # three well-separated clusters in 64-dim; PQ top-k from a cluster
+    # member must stay inside its cluster.
+    rng = np.random.default_rng(11)
+    rows = []
+    for cl in range(3):
+        center = np.zeros(64)
+        center[cl * 20 : cl * 20 + 20] = 5.0
+        for j in range(40):
+            v = center + 0.1 * rng.standard_normal(64)
+            rows.append((cl * 40 + j, [float(x) for x in v]))
+    clustered = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = clustered.filter(F.col("vec_id").isin([0, 40, 80]))
+    got = pq_knn(clustered, qs, k=5).toPandas()
+    assert len(got) == 15
+    for qid, g in got.groupby("query_id"):
+        want_cluster = qid // 40
+        assert (g["neighbor_id"] // 40 == want_cluster).all(), (qid, g)
