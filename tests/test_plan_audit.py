@@ -319,3 +319,24 @@ def test_ewma_batch_plan_vectorized_no_python(spark):
         assert node not in plan, node
     assert "Window" in plan
     assert "ReadSchema: struct<event_id:bigint,ts:timestamp" in plan, plan
+
+
+def test_pq_encode_no_sort_no_python(spark):
+    """PQ's encode must stay a map-side fold like the k-means
+    assignment: zero Sort nodes attributable to encoding (the only
+    sorts allowed are the seed row_number and the final top-k window),
+    no Python nodes anywhere, and the corpus scanned — not shuffled —
+    for encoding (the one exchange below the top-k window belongs to
+    codebook training's mean aggregate)."""
+    from apm_opentelemetry_collector_spark.operators.similarity import pq_knn
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    df = pq_knn(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    plan = plan_of(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan, node
+    # executed plan of the FINAL query (training ran to a checkpoint):
+    # exactly one Window (top-k) and no SortAggregate anywhere
+    assert "SortAggregate" not in plan, plan
+    assert plan.count("Window [") == 1, plan  # WindowGroupLimit ≠ a 2nd window
