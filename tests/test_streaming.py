@@ -1069,3 +1069,70 @@ def test_counter_delta_event_time_ttl_evicts_by_watermark(spark, tmp_path):
     assert state_rows == 4  # m0 + n0..n2
     m0 = got[(got["name"] == "m0") & (got["value"] == 25.0)]["delta"]
     assert len(m0) == 1 and float(m0.iloc[0]) == 15.0  # baseline survived
+
+
+def test_ewma_batch_twin_matches_streaming(spark, tmp_path):
+    """The r5 vectorized batch EWMA and the stateful streaming EWMA
+    implement the SAME recurrence: on ordered input split across
+    micro-batches, per-row z-scores must agree to float-reassociation
+    noise (the streaming loop computes mean += α·d where the batch
+    Horner fold computes β·acc + α·x — algebraically equal, different
+    rounding; observed ~3e-8 after the planted spikes) and anomaly
+    flags must be identical."""
+    import datetime as dt
+
+    import numpy as np
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    from apm_opentelemetry_collector_spark.operators.outliers import (
+        ewma_anomalies_batch,
+    )
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        ewma_anomalies,
+        run_to_memory,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("host", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    t0 = dt.datetime(2024, 1, 1)
+    rng = np.random.default_rng(3)
+    xs = (100 + 10 * rng.standard_normal(120)).round(3)
+    xs[[30, 77]] = [1500.0, -1200.0]
+    rows = [
+        Row(host="h", ts=t0 + dt.timedelta(seconds=i), value=float(x))
+        for i, x in enumerate(xs)
+    ]
+    path = str(tmp_path / "ewma_eq_in")
+    # 3 micro-batches, ordered within and across
+    for i in range(3):
+        spark.createDataFrame(rows[i * 40 : (i + 1) * 40], schema).coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(path)
+    )
+    run_to_memory(ewma_anomalies(stream), "ewma_eq_out")
+    got_s = (
+        spark.sql("SELECT * FROM ewma_eq_out").toPandas().sort_values("ts")
+    )
+    got_b = (
+        ewma_anomalies_batch(
+            spark.createDataFrame(rows, schema), ["host"], ["ts"], "value"
+        )
+        .toPandas()
+        .sort_values("ts")
+    )
+    assert len(got_s) == len(got_b) == 120
+    assert (
+        np.abs(got_s["zscore"].to_numpy() - got_b["zscore"].to_numpy()).max()
+        <= 1e-6
+    )
+    assert got_s["is_anomaly"].tolist() == got_b["is_anomaly"].tolist()
+    assert got_b.set_index("ts")["is_anomaly"].to_numpy()[[30, 77]].all()
