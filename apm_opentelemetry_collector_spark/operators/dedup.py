@@ -282,12 +282,23 @@ def repeated_spans(
          recovered in a final result-bounded join (min() per key), the
          same two-pass discipline as repeated_passages.
 
-    A span shared verbatim by k ≥ min_docs documents is recovered at
-    its FULL maximal extent (plus any hot flanks they also share) —
-    regardless of length — because each of its stride-1 seeds is hot
-    and consecutive. Window queries at one fixed length structurally
-    miss shorter blocks and fragment longer ones; tested on planted
-    25- and 90-char boilerplate the 40-char window cannot report.
+    Guarantee, stated precisely: a block shared verbatim by k ≥
+    min_docs documents is recovered at its full maximal extent —
+    regardless of length — PROVIDED those documents agree on that
+    maximal extent (each doc's island around the block is the same
+    string, i.e. the hot flanks match). Documents that EXTEND the
+    block differently produce different maximal islands, which are
+    counted as separate spans: a shared core whose every occurrence
+    is absorbed into differently-extended islands is not reported as
+    its own row (support is counted on exact island text, not on
+    containment — the containment form is a substring join, the
+    suffix-array/LCP territory this operator deliberately stops short
+    of; repeated_passages' fixed windows still surface such cores at
+    window granularity). Window queries at one fixed length
+    structurally miss shorter blocks and fragment longer ones; tested
+    on planted 25- and 90-char boilerplate the 40-char window cannot
+    report, and on a divergent-flank fixture documenting the
+    island-counting semantics.
 
     Output: fingerprint (md5 of span), span, span_len, n_docs, n_total.
     """

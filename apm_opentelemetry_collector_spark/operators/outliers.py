@@ -166,6 +166,11 @@ def ewma_anomalies_batch(
     spike cannot mask itself. Per-row cost is O(W); every row folds
     independently — embarrassingly parallel, no sequential barrier.
 
+    NULL values are dropped before the folds (a NULL can't be scored,
+    and collect_list silently skipping it while row_number counts it
+    would misalign the Horner seed — and diverge from the DuckDB twin,
+    whose windowed list() KEEPS NULLs).
+
     Output: key_cols..., order_cols..., value, zscore, is_anomaly.
     """
     from pyspark.sql import Window
@@ -175,16 +180,21 @@ def ewma_anomalies_batch(
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     arr_w = w.rowsBetween(-(W - 1), 0)
 
-    x = F.col(value_col).cast("double")
-    arr = F.collect_list(x).over(arr_w)
+    # rename FIRST, then build every window expression over the renamed
+    # column — embedding F.col(value_col) in expressions resolved after
+    # the select would break for any value_col other than "value"
+    base = df.select(
+        *key_cols,
+        *order_cols,
+        F.col(value_col).cast("double").alias("value"),
+    ).filter(F.col("value").isNotNull())
+    arr = F.collect_list("value").over(arr_w)
     mean_incl = F.aggregate(
         F.slice(arr, 2, W),
         F.element_at(arr, 1),
         lambda acc, v: F.lit(beta) * acc + F.lit(alpha) * v,
     )
-    base = df.select(*key_cols, *order_cols, x.alias("value")).withColumn(
-        "_mean", mean_incl
-    )
+    base = base.withColumn("_mean", mean_incl)
     d = F.col("value") - F.lag("_mean").over(w)
     g = F.coalesce(
         F.lit(beta) * F.lit(alpha) * d * d, F.lit(0.0)
@@ -233,6 +243,7 @@ def ewma_anomalies_sql(
 WITH base AS (
   SELECT {key_col}, {ob}, CAST({value_col} AS DOUBLE) AS value
   FROM {table}
+  WHERE {value_col} IS NOT NULL
 ), m AS (
   SELECT *, list_reduce(
            list(value) OVER (PARTITION BY {key_col} ORDER BY {ob}

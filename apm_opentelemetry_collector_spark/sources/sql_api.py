@@ -70,14 +70,22 @@ def tdigest_quantiles_sql(
     digest (one row per group × q, columns [*group_cols, q, est]).
 
     Requires register_views/register_digest_sql to have registered the
-    aggregates. salt_expr overrides the default row-hash salt (e.g. a
-    monotonic id column for better balance); n_salt sizes the inner
-    fan-out — the per-aggregator input is |group| / n_salt rows.
+    aggregates. n_salt sizes the inner fan-out — the per-aggregator
+    input is |group| / n_salt rows. The default salt is ROW-unique
+    (monotonically_increasing_id), so the bound holds regardless of the
+    value distribution — hashing the VALUE itself would collapse
+    low-cardinality or skewed columns (status codes, quantized
+    latencies) back onto a handful of aggregators, the exact trap this
+    generator exists to close. Pass salt_expr (e.g. a deterministic
+    hash of a unique key column) when the digest composition must be
+    bit-reproducible across runs — mono ids are partition-dependent, so
+    the default trades run-to-run bit-stability (within the sketch's
+    rank tolerance) for an unconditional memory bound.
     """
     if not (qs and all(0.0 <= float(q) <= 1.0 for q in qs)):
         raise ValueError("qs must be non-empty quantiles in [0, 1]")
     gsel = "".join(f"{g}, " for g in group_cols)
-    salt = salt_expr or f"abs(hash({value_col})) % {int(n_salt)}"
+    salt = salt_expr or f"pmod(monotonically_increasing_id(), {int(n_salt)})"
     inner_by = ", ".join([*group_cols, salt])
     outer_by = f"GROUP BY {', '.join(group_cols)}" if group_cols else ""
     qs_rows = ", ".join(f"({float(q)})" for q in qs)

@@ -237,6 +237,52 @@ def ewma_anomalies(
     )
 
 
+# --- shared state-TTL machinery (one implementation, three operators) -------
+
+
+def _resolve_ttl(state_ttl_s: float | None, ttl_clock: str = "processing"):
+    """Validate and normalize the TTL knobs shared by the stateful
+    operators. Returns (ttl_ms, event_ttl, timeout_enum): ttl_ms = 0
+    means never evict (NoTimeout), event_ttl selects watermark-driven
+    EventTimeTimeout over wall-clock ProcessingTimeTimeout."""
+    if ttl_clock not in ("processing", "event"):
+        raise ValueError(f"ttl_clock must be processing|event, got {ttl_clock}")
+    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
+    event_ttl = bool(ttl_ms) and ttl_clock == "event"
+    timeout = GroupStateTimeout.NoTimeout
+    if ttl_ms:
+        timeout = (
+            GroupStateTimeout.EventTimeTimeout
+            if event_ttl
+            else GroupStateTimeout.ProcessingTimeTimeout
+        )
+    return ttl_ms, event_ttl, timeout
+
+
+def _evict_if_timed_out(state: GroupState, ttl_ms: int) -> bool:
+    """True when this invocation IS the timeout firing: the key's state
+    is removed and the handler must return without emitting."""
+    if ttl_ms and state.hasTimedOut:
+        state.remove()
+        return True
+    return False
+
+
+def _arm_ttl(state: GroupState, ttl_ms: int, event_ttl: bool, max_us: int = 0):
+    """Re-arm the idle timeout after state.update (timeouts clear every
+    invocation). Event clock: evict when the watermark passes the key's
+    own max event time + TTL — clamped strictly above the current
+    watermark or Spark rejects the timestamp (late-arriving keys)."""
+    if not ttl_ms:
+        return
+    if event_ttl:
+        state.setTimeoutTimestamp(
+            max(max_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
+        )
+    else:
+        state.setTimeoutDuration(ttl_ms)
+
+
 COUNTER_DELTA_SCHEMA = T.StructType(
     [
         T.StructField("name", T.StringType()),
@@ -299,15 +345,11 @@ def counter_delta_stateful(
     eviction only advances as the watermark does).
     Expects columns (name, host, ts, value).
     """
-    if ttl_clock not in ("processing", "event"):
-        raise ValueError(f"ttl_clock must be processing|event, got {ttl_clock}")
     delay_us = int(reorder_delay_s) * 1_000_000
-    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
-    event_ttl = ttl_ms and ttl_clock == "event"
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, ttl_clock)
 
     def diff(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if ttl_ms and state.hasTimedOut:
-            state.remove()
+        if _evict_if_timed_out(state, ttl_ms):
             return
         if state.exists:
             last, max_us, buf_us, buf_val = state.get
@@ -361,23 +403,8 @@ def counter_delta_stateful(
             if last is not None
             else (None, int(max_us), buf_us, buf_val)
         )
-        if event_ttl:
-            # evict when the watermark passes the series' own clock +
-            # TTL; the target must sit strictly above the current
-            # watermark or Spark rejects it (late-arriving series)
-            state.setTimeoutTimestamp(
-                max(max_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
-            )
-        elif ttl_ms:
-            state.setTimeoutDuration(ttl_ms)
+        _arm_ttl(state, ttl_ms, event_ttl, max_us)
 
-    timeout = GroupStateTimeout.NoTimeout
-    if ttl_ms:
-        timeout = (
-            GroupStateTimeout.EventTimeTimeout
-            if event_ttl
-            else GroupStateTimeout.ProcessingTimeTimeout
-        )
     return stream.groupBy("name", "host").applyInPandasWithState(
         diff,
         COUNTER_DELTA_SCHEMA,
@@ -465,16 +492,12 @@ def funnel_stateful(
     when replaying history; caller must set withWatermark on ts).
     Expects columns (user_id, event_type, ts).
     """
-    if ttl_clock not in ("processing", "event"):
-        raise ValueError(f"ttl_clock must be processing|event, got {ttl_clock}")
     delay_us = int(reorder_delay_s) * 1_000_000
-    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
-    event_ttl = ttl_ms and ttl_clock == "event"
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, ttl_clock)
     step_of = {s: i for i, s in enumerate(steps)}
 
     def advance(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if ttl_ms and state.hasTimedOut:
-            state.remove()
+        if _evict_if_timed_out(state, ttl_ms):
             return
         if state.exists:
             reached, last_us, max_us, buf_us, buf_step = state.get
@@ -512,20 +535,8 @@ def funnel_stateful(
                     }
                 )
         state.update((int(reached), int(last_us), int(max_us), buf_us, buf_step))
-        if event_ttl:
-            state.setTimeoutTimestamp(
-                max(max_us // 1000 + ttl_ms, state.getCurrentWatermarkMs() + 1)
-            )
-        elif ttl_ms:
-            state.setTimeoutDuration(ttl_ms)
+        _arm_ttl(state, ttl_ms, event_ttl, max_us)
 
-    timeout = GroupStateTimeout.NoTimeout
-    if ttl_ms:
-        timeout = (
-            GroupStateTimeout.EventTimeTimeout
-            if event_ttl
-            else GroupStateTimeout.ProcessingTimeTimeout
-        )
     return stream.groupBy("user_id").applyInPandasWithState(
         advance,
         FUNNEL_EVENT_SCHEMA,
@@ -610,11 +621,11 @@ def weighted_reservoir_stateful(
     out_fields = [T.StructField(f.name, f.dataType) for f in keyed.schema.fields if f.name in gcols]
     out_schema = T.StructType(out_fields + list(WRS_STREAM_SCHEMA.fields))
 
-    ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
+    # processing-clock only (no event column in the keyed projection)
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
 
     def hold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        if ttl_ms and state.hasTimedOut:
-            state.remove()
+        if _evict_if_timed_out(state, ttl_ms):
             return
         # seq bumps ONCE per invocation (= per micro-batch per group),
         # after draining every Arrow chunk of the iterator — a group
@@ -650,17 +661,14 @@ def weighted_reservoir_stateful(
             snap[g] = v
         yield snap[[*gcols, "snapshot", "id", "weight", "wrs_key"]]
         state.update((int(seq), ids, ws, ks))
-        if ttl_ms:
-            state.setTimeoutDuration(ttl_ms)
+        _arm_ttl(state, ttl_ms, event_ttl)
 
     return keyed.groupBy(*(gcols or ["_g"])).applyInPandasWithState(
         hold,
         out_schema,
         WRS_STREAM_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_ms
-        else GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 

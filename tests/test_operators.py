@@ -745,3 +745,34 @@ def test_ewma_batch_matches_sequential_truth(spark):
     )
     assert got["is_anomaly"].tolist() == flags
     assert got.loc[[60, 200, 333], "is_anomaly"].all()
+
+
+def test_repeated_spans_island_counting_semantics(spark):
+    """Documents that EXTEND a shared block differently produce
+    different maximal islands, counted separately (support is on exact
+    island text, not containment): the shared core alone is NOT its own
+    row, but docs agreeing on the extent still group. Documents the
+    limitation stated in the repeated_spans docstring."""
+    from apm_opentelemetry_collector_spark.operators.dedup import repeated_spans
+
+    core = "the quick brown fox jumps over it"   # 33 norm chars
+    rows = [
+        # A and B extend the core identically on the left
+        (0, f"prefix shared {core} tailA0"),
+        (1, f"prefix shared {core} tailB1"),
+        # C contains only the core with unique flanks
+        (2, f"zq9 {core} xw7"),
+        (3, "totally unrelated filler " + " ".join(f"u{j}" for j in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["span"]: r for r in repeated_spans(
+        docs, seed_len=16, min_len=20, min_docs=2
+    ).collect()}
+    # A∪B∪C share the core, so its seeds are hot in all three; A/B's
+    # islands include the shared "prefix shared " extension, C's island
+    # is just " core " bounded by its unique flanks — different texts.
+    ab = [s for s in out if "prefix shared" in s]
+    assert len(ab) == 1 and out[ab[0]]["n_docs"] == 2
+    # C's differently-flanked island has support 1 → filtered; the bare
+    # core is NOT reported as its own row (the documented limitation)
+    assert all("prefix shared" in s for s in out), sorted(out)
