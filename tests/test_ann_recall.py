@@ -135,3 +135,76 @@ def test_pq_knn_codes_bounded_and_orders_by_adc(spark):
     for qid, g in got.groupby("query_id"):
         want_cluster = qid // 40
         assert (g["neighbor_id"] // 40 == want_cluster).all(), (qid, g)
+
+
+def test_pq_knn_matches_numpy_reference(spark):
+    """Independent from-the-definition numpy PQ (seeding, strict-<
+    argmin with tie-to-lower-cluster, plain means, ADC, tie-by-id
+    top-k) must agree with the Spark pipeline on random vectors —
+    neighbor sets identical, distances within float tolerance (numpy
+    means vs the engine's decimal-exact means differ in the last ulp)."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.similarity import pq_knn
+
+    rng = np.random.default_rng(23)
+    n, dim, m, codes, iters, k = 60, 16, 4, 3, 2, 3
+    X = rng.standard_normal((n, dim))
+    sub = dim // m
+
+    def train(sub_X):
+        cents = sub_X[:codes].copy()           # lowest-id seeding
+        for _ in range(iters - 1):
+            d2 = ((sub_X[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)              # argmin = first minimum = lower cluster
+            cents = np.stack(
+                [
+                    sub_X[assign == c].mean(0) if (assign == c).any() else cents[c]
+                    for c in range(codes)
+                ]
+            )
+            keep = [c for c in range(codes) if (assign == c).any()]
+            cents = cents[keep] if len(keep) < codes else cents
+        return cents
+
+    books, codes_per_m = [], []
+    for mi in range(m):
+        sx = X[:, mi * sub : (mi + 1) * sub]
+        cb = train(sx)
+        books.append(cb)
+        d2 = ((sx[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        codes_per_m.append(d2.argmin(1))
+
+    want = {}
+    for q in range(3):
+        dists = []
+        for j in range(n):
+            if j == q:
+                continue
+            d = sum(
+                ((X[q, mi * sub : (mi + 1) * sub] - books[mi][codes_per_m[mi][j]]) ** 2).sum()
+                for mi in range(m)
+            )
+            dists.append((d, j))
+        dists.sort()
+        want[q] = dists[:k]
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    got = pq_knn(
+        df,
+        df.filter("vec_id < 3"),
+        k=k,
+        m_subspaces=m,
+        n_codes=codes,
+        iters=iters,
+        dim=dim,
+    ).toPandas()
+    assert len(got) == 9
+    for q in range(3):
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert g["neighbor_id"].tolist() == [j for _, j in want[q]]
+        d_want = np.array([d for d, _ in want[q]])
+        assert np.abs(g["adc_d2"].to_numpy() - d_want).max() <= 1e-9

@@ -169,3 +169,75 @@ def test_u48_sql_matches_python(doc_id):
         f"SELECT {u48_sql('doc_id')} AS u FROM (SELECT {doc_id} AS doc_id)"
     ).fetchone()[0]
     assert got == want
+
+
+# --- repeated_spans vs an INDEPENDENT pure-Python reference -----------------
+# The DuckDB oracle shares the operator's structural decomposition
+# (windows → hot → islands); this reference implements the SAME
+# semantics from the definition alone, so a shared structural mistake
+# would be caught here.
+
+
+def _spans_reference(texts, seed_len, min_len, min_docs):
+    import re
+    from collections import Counter, defaultdict
+
+    norm = {
+        i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in enumerate(texts)
+    }
+    seed_docs = defaultdict(set)
+    for i, s in norm.items():
+        for p in range(len(s) - seed_len + 1):
+            seed_docs[s[p : p + seed_len]].add(i)
+    hot = {g for g, ds in seed_docs.items() if len(ds) >= min_docs}
+    span_occ = Counter()
+    span_docs = defaultdict(set)
+    for i, s in norm.items():
+        positions = [
+            p for p in range(len(s) - seed_len + 1) if s[p : p + seed_len] in hot
+        ]
+        runs = []
+        for p in positions:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], p)
+            else:
+                runs.append((p, p))
+        for p0, p1 in runs:
+            span = s[p0 : p1 + seed_len]
+            if len(span) >= min_len:
+                span_occ[span] += 1
+                span_docs[span].add(i)
+    return {
+        sp: (len(span_docs[sp]), n)
+        for sp, n in span_occ.items()
+        if len(span_docs[sp]) >= min_docs
+    }
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=60),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=3, max_value=6),
+)
+def test_repeated_spans_matches_python_reference(spark, texts, seed_len):
+    """Random tiny-alphabet corpora (forced repeats, whitespace runs,
+    empty docs): the Spark operator's (span → n_docs, n_total) map must
+    equal the from-the-definition Python reference exactly."""
+    from apm_opentelemetry_collector_spark.operators.dedup import repeated_spans
+
+    min_len, min_docs = seed_len + 2, 2
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["span"]: (r["n_docs"], r["n_total"])
+        for r in repeated_spans(
+            docs, seed_len=seed_len, min_len=min_len, min_docs=min_docs
+        ).collect()
+    }
+    want = _spans_reference(texts, seed_len, min_len, min_docs)
+    assert got == want
