@@ -233,7 +233,9 @@ def test_new_queries_no_python_nodes(spark):
                  "tdigest_value_quantiles", "tune_n_probe", "kmeans_assign",
                  "tfidf_top_terms", "leakage_safe_split", "robust_outliers",
                  "events_funnel", "cohort_retention", "events_json_props",
-                 "rate_limit_exceeded"):
+                 "rate_limit_exceeded",
+                 # r5
+                 "repeated_spans", "ewma_anomalies", "pq_knn"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 
