@@ -87,14 +87,32 @@ def _fill_group(
     state.update((last_role, last_tool))
 
 
-def forward_fill_stateful(stream: DataFrame) -> DataFrame:
-    """Node-multiplexing forward fill with cross-micro-batch state."""
+def forward_fill_stateful(
+    stream: DataFrame, state_ttl_s: float | None = None
+) -> DataFrame:
+    """Node-multiplexing forward fill with cross-micro-batch state.
+
+    state_ttl_s evicts conversations idle longer than the TTL
+    (processing clock) — a finished conversation's two-string state
+    otherwise lives for the life of the stream, so the state store
+    grows with every conversation EVER seen instead of the active set.
+    A conversation resuming after eviction starts with no inherited
+    role/tool (leading nulls stay null until its next non-null), the
+    same as a brand-new stream in the reference receiver."""
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
+
+    def fill(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if _evict_if_timed_out(state, ttl_ms):
+            return
+        yield from _fill_group(key, pdfs, state)
+        _arm_ttl(state, ttl_ms, event_ttl)
+
     return stream.groupBy("conv_id").applyInPandasWithState(
-        _fill_group,
+        fill,
         FILLED_SCHEMA,
         STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 
@@ -185,6 +203,7 @@ def ewma_anomalies(
     alpha: float = 0.3,
     k: float = 3.0,
     min_points: int = 5,
+    state_ttl_s: float | None = None,
 ) -> DataFrame:
     """Stateful streaming anomaly detection per host: exponentially
     weighted mean/variance carried ACROSS micro-batches; a point whose
@@ -195,9 +214,15 @@ def ewma_anomalies(
     for (sequential state per key): applyInPandasWithState with numeric
     state, the numeric sibling of the forward-fill's string state.
     Expects columns (host, ts, value).
+
+    state_ttl_s evicts hosts idle past the TTL (processing clock); a
+    revived host restarts its warm-up from n=0.
     """
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
 
     def detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if _evict_if_timed_out(state, ttl_ms):
+            return
         mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
@@ -227,17 +252,18 @@ def ewma_anomalies(
                 }
             )
         state.update((float(mean), float(var), int(n)))
+        _arm_ttl(state, ttl_ms, event_ttl)
 
     return stream.groupBy("host").applyInPandasWithState(
         detect,
         ANOMALY_SCHEMA,
         EWMA_STATE_SCHEMA,
         "append",
-        GroupStateTimeout.NoTimeout,
+        timeout,
     )
 
 
-# --- shared state-TTL machinery (one implementation, three operators) -------
+# --- shared state-TTL machinery (one implementation, five operators) --------
 
 
 def _resolve_ttl(state_ttl_s: float | None, ttl_clock: str = "processing"):

@@ -1136,3 +1136,62 @@ def test_ewma_batch_twin_matches_streaming(spark, tmp_path):
     )
     assert got_s["is_anomaly"].tolist() == got_b["is_anomaly"].tolist()
     assert got_b.set_index("ts")["is_anomaly"].to_numpy()[[30, 77]].all()
+
+
+def test_forward_fill_and_ewma_state_ttl_evict_idle_keys(spark, tmp_path):
+    """The remaining two stateful operators honor state_ttl_s via the
+    shared helpers: idle conversations / hosts are evicted under key
+    churn, and a revived conversation starts with NO inherited
+    role/tool (leading nulls stay null — same as a new stream)."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    from apm_opentelemetry_collector_spark.sources.transcripts import (
+        TRANSCRIPT_SCHEMA,
+    )
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        forward_fill_stateful,
+        stream_transcripts,
+    )
+
+    path = str(tmp_path / "ff_ttl_in")
+    t0 = dt.datetime(2024, 1, 1)
+    w1 = [
+        Row(conv_id=f"c{i}", turn_idx=0, role="user", text="a", tool="srch", ts=t0)
+        for i in range(12)
+    ]
+    spark.createDataFrame(w1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+    q = (
+        forward_fill_stateful(stream_transcripts(spark, path), state_ttl_s=1.0)
+        .writeStream.format("memory")
+        .queryName("ff_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        assert _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM ff_ttl_out").first()[0] == 12
+        )
+        _time.sleep(2.5)
+        # wave 2: fresh convs + c0 returning with a NULL role/tool turn
+        w2 = [
+            Row(conv_id=f"d{i}", turn_idx=0, role="user", text="b", tool=None, ts=t0)
+            for i in range(5)
+        ] + [Row(conv_id="c0", turn_idx=1, role=None, text="c", tool=None, ts=t0)]
+        spark.createDataFrame(w2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        assert _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM ff_ttl_out").first()[0] == 18
+        )
+        assert _wait_state_rows(q, 6) == 6  # 5 fresh + revived c0, not 17
+        got = spark.sql(
+            "SELECT role, tool FROM ff_ttl_out WHERE conv_id='c0' AND turn_idx=1"
+        ).collect()[0]
+    finally:
+        q.stop()
+    # evicted conversation: nothing inherited — nulls stay null
+    assert got["role"] is None and got["tool"] is None
