@@ -1004,6 +1004,15 @@ def q_repeated_passages(spark, sf_dir):
     return dd.repeated_passages(_load(spark, sf_dir, "documents"))
 
 
+def q_bigram_lm_scores(spark, sf_dir):
+    """Corpus-trained bigram LM score per document (CCNet/Gopher-style
+    perplexity filter): three map-side-combinable count aggregates, two
+    token-key hash joins, decimal-exact per-doc mean of log-probs."""
+    from apm_opentelemetry_collector_spark.functions.text import bigram_lm_scores
+
+    return bigram_lm_scores(_load(spark, sf_dir, "documents"))
+
+
 def q_pq_knn(spark, sf_dir):
     """Product-quantization ANN (ADC): per-subspace Lloyd codebooks →
     one map-side encode fold → broadcast-query asymmetric distances →
@@ -1204,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
         "pq_knn": q_pq_knn,
+        "bigram_lm_scores": q_bigram_lm_scores,
         # --- new in r4 ------------------------------------------------------
         "repeated_passages": q_repeated_passages,
         "dedup_components_star": q_dedup_components_star,
@@ -2412,6 +2422,7 @@ WHERE da.source <> db.source""",
         "repeated_spans": dd.repeated_spans_sql(),
         "ewma_anomalies": _ewma_sql(),
         "pq_knn": _pq_sql(),
+        "bigram_lm_scores": textfn.bigram_lm_scores_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

@@ -288,3 +288,128 @@ WITH toks AS (
 )
 SELECT {group_col}, term, tf, df, round(_score, 6) AS tfidf
 FROM ranked WHERE _rn <= {top_n}"""
+
+
+# --- bigram LM quality scoring ----------------------------------------------
+
+LM_SMOOTH_K = 1.0  # add-one smoothing
+
+
+def bigram_lm_scores(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Corpus-trained bigram language-model score per document — the
+    perplexity-style quality filter a curation stack runs after the
+    cheap heuristics (CCNet/Gopher-style: prose scores high, boilerplate
+    token soup and gibberish score low; score = mean log P(w_i|w_{i-1})
+    under add-one smoothing, trained on the corpus being scored).
+
+    Spark shape:
+      * tokenize once (normalized text split on the collapsed single
+        space — identical tokens to the SQL twin's string_split);
+      * unigram counts c1(w), bigram counts c12(w1,w2), vocab size V:
+        three map-side-combinable aggregates over uniform token keys;
+      * score: each doc's bigrams equi-join the count tables (token
+        keys, no skew beyond natural Zipf — AQE handles the head), then
+        logp = ln((c12+k)/(c1+k·V));
+      * per-doc mean with DECIMAL(28,12) accumulation of the logp terms
+        — exact and order-independent, so Spark's partial-agg order and
+        the oracle's scan order produce bit-identical sums (the same
+        trick as the centroid means).
+
+    At 100 TB the bigram table is the big intermediate (Zipf-bounded,
+    far sub-quadratic in V in practice); counts are classic map-side
+    combinable aggregates and scoring is two hash joins on token keys —
+    the canonical distributed-LM-count shape. Docs with < 2 tokens
+    yield no bigrams and drop out (no score is defensible for one-token
+    docs; COUNT them upstream if needed).
+
+    Output: doc_id, n_bigrams (bigint), avg_logp (double, rounded 6dp);
+    ascending avg_logp = most-gibberish-first.
+    """
+    from pyspark.sql import Window
+
+    k = LM_SMOOTH_K
+    norm = normalized(text_col)
+    toks = (
+        docs.select(F.col(id_col).alias("id"), F.split(norm, " ").alias("l"))
+        .select(
+            "id", F.posexplode("l").alias("pos", "w")
+        )
+        .filter(F.col("w") != "")
+    )
+    w_ = Window.partitionBy("id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w").over(w_))
+        .filter(F.col("w2").isNotNull())
+        .select("id", F.col("w").alias("w1"), "w2")
+    )
+    c1 = toks.groupBy("w").agg(F.count("*").cast("bigint").alias("c1"))
+    c12 = bigrams.groupBy("w1", "w2").agg(
+        F.count("*").cast("bigint").alias("c12")
+    )
+    vocab = toks.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    logp = F.log(
+        (F.col("c12") + F.lit(k)) / (F.col("c1") + F.lit(k) * F.col("v"))
+    )
+    scored = (
+        bigrams.join(c12, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("id", logp.alias("_lp"))
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (
+                F.sum(F.col("_lp").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("_avg"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_bigrams",
+            F.round("_avg", 6).alias("avg_logp"),
+        )
+    )
+
+
+def bigram_lm_scores_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of bigram_lm_scores (same normalize/tokenize/
+    smoothing/decimal-mean op order)."""
+    k = LM_SMOOTH_K
+    return f"""
+WITH docs_n AS (
+  SELECT {id_col} AS id,
+         string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' ') AS l
+  FROM {table}
+), toks AS (
+  SELECT id, CAST(j AS INTEGER) AS pos, l[CAST(j AS INTEGER)] AS w
+  FROM (SELECT id, l, unnest(range(1, len(l) + 1)) AS j FROM docs_n)
+  WHERE l[CAST(j AS INTEGER)] <> ''
+), bigrams AS (
+  SELECT a.id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON a.id = b.id AND b.pos = a.pos + 1
+), c1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM toks GROUP BY w
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bigrams GROUP BY w1, w2
+), vocab AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM toks
+), scored AS (
+  SELECT g.id, ln((c12.c12 + {k!r}) / (c1.c1 + {k!r} * vocab.v)) AS lp
+  FROM bigrams g
+  JOIN c12 ON g.w1 = c12.w1 AND g.w2 = c12.w2
+  JOIN c1 ON g.w1 = c1.w
+  CROSS JOIN vocab
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logp
+FROM scored GROUP BY id"""

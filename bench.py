@@ -102,6 +102,7 @@ def main() -> None:
         "repeated_spans",
         "ewma_anomalies",
         "pq_knn",
+        "bigram_lm_scores",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -776,3 +776,23 @@ def test_repeated_spans_island_counting_semantics(spark):
     # C's differently-flanked island has support 1 → filtered; the bare
     # core is NOT reported as its own row (the documented limitation)
     assert all("prefix shared" in s for s in out), sorted(out)
+
+
+def test_bigram_lm_scores_rank_gibberish_below_prose(spark):
+    """The corpus-trained bigram score must order documents sensibly:
+    docs made of a repeated common phrase (high-count bigrams) score
+    ABOVE docs of unique token soup (every bigram count 1), and
+    single-token docs yield no row."""
+    from apm_opentelemetry_collector_spark.functions.text import bigram_lm_scores
+
+    phrase = "the quick brown fox jumps"
+    rows = [(i, " ".join([phrase] * 4)) for i in range(6)]            # prose-ish
+    rows += [(10 + i, " ".join(f"zx{i}q{j}" for j in range(20))) for i in range(6)]
+    rows += [(100, "solo")]                                           # 1 token
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    assert 100 not in out
+    prose = [out[i]["avg_logp"] for i in range(6)]
+    soup = [out[10 + i]["avg_logp"] for i in range(6)]
+    assert min(prose) > max(soup), (prose, soup)
+    assert out[0]["n_bigrams"] == 19  # 20 tokens → 19 bigrams

@@ -235,7 +235,8 @@ def test_new_queries_no_python_nodes(spark):
                  "events_funnel", "cohort_retention", "events_json_props",
                  "rate_limit_exceeded",
                  # r5
-                 "repeated_spans", "ewma_anomalies", "pq_knn"):
+                 "repeated_spans", "ewma_anomalies", "pq_knn",
+                 "bigram_lm_scores"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

@@ -24,7 +24,7 @@ EARLIER_ROUNDS = [
 
 MUST_BE_IN_WINDOW = {
     # new in r5
-    "repeated_spans", "ewma_anomalies", "pq_knn",
+    "repeated_spans", "ewma_anomalies", "pq_knn", "bigram_lm_scores",
     # new in r4
     "dedup_components_star", "value_percentiles_tdigest",
     "repeated_passages",
