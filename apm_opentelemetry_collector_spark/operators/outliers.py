@@ -127,7 +127,9 @@ EWMA_MIN_POINTS = 5
 def _ewma_window(alpha: float, eps: float = 1e-12) -> int:
     """Smallest W with (1-alpha)^W <= eps: contributions older than W
     steps are below eps relative weight, so the truncated fold's error
-    is bounded by ~2·eps·max|x| (derivation in ewma_anomalies_batch)."""
+    is bounded by ~2·(eps/β)·max|x| — the seed absorbs one Horner step,
+    so the operative factor is β^(W-1) (derivation in
+    ewma_anomalies_batch); numerically still ~1e-12 for the defaults."""
     import math
 
     return max(2, int(math.ceil(math.log(eps) / math.log(1.0 - alpha))))
@@ -155,12 +157,14 @@ def ewma_anomalies_batch(
     window + F.aggregate — a JVM Catalyst higher-order function, no
     Python, no applyInPandas): Horner's rule seeded with the oldest
     in-window value reproduces the recurrence exactly for rows with
-    t < W and truncates it for older rows with error
+    t < W and truncates it for older rows with error (the seed absorbs
+    one step, so the exponent is W−1, not W: after seeding with
+    x_{t-W+1} the fold applies W−1 Horner steps)
 
-        |m̂_t − m_t| = β^W·|m_{t-W} − x_{t-W}| ≤ 2·β^W·max|x| ,
-        |v̂_t − v_t| = β^W·v_{t-W}            ≤ β^W·max d²
+        |m̂_t − m_t| = β^(W-1)·|m_{t-W+1} − x_{t-W+1}| ≤ 2·β^(W-1)·max|x| ,
+        |v̂_t − v_t| = β^(W-1)·v_{t-W+1}               ≤ β^(W-1)·max d²
 
-    — below double precision for the default W (β^W ≤ 1e-12). The
+    — below double precision for the default W (β^(W-1) ≈ 1e-12). The
     z-score uses the PRE-UPDATE state like the streaming operator
     (z_t from m_{t-1}, v_{t-1}; 0 during the min_points warm-up), so a
     spike cannot mask itself. Per-row cost is O(W); every row folds

@@ -223,8 +223,52 @@ def make_digest_udfs(delta: float = DELTA):
     return tdigest_agg, tdigest_merge_agg, tdigest_quantile
 
 
+def lint_digest_sql(sql: str, warn: bool = True) -> list[str]:
+    """Flag the naive single-level digest form in hand-written SQL.
+
+    Grouped-aggregate pandas UDFs do NO partial aggregation: a plain
+    ``GROUP BY k`` over ``tdigest_agg(v)`` ships EVERY raw value of a
+    group to one aggregator — the 100-TB OOM trap the two-level salted
+    idiom (inner GROUP BY carries a salt, outer ``tdigest_merge_agg``
+    merges O(δ) digests) exists to close. ``tdigest_quantiles_sql``
+    (sources/sql_api.py) GENERATES the safe form; this lint covers the
+    user who hand-writes the naive one anyway.
+
+    Heuristic: any statement that calls ``tdigest_agg`` without a
+    ``tdigest_merge_agg`` merge level is flagged (the generator's
+    output always contains both, so it lints clean). A user splitting
+    the two levels across separate statements may false-positive —
+    this is a lint, not a gate. Returns the finding strings; also
+    emits a UserWarning per finding unless ``warn=False``.
+    """
+    import re as _re
+    import warnings as _warnings
+
+    findings: list[str] = []
+    has_agg = _re.search(r"\btdigest_agg\s*\(", sql, _re.IGNORECASE)
+    has_merge = _re.search(r"\btdigest_merge_agg\s*\(", sql, _re.IGNORECASE)
+    if has_agg and not has_merge:
+        findings.append(
+            "naive single-level tdigest_agg GROUP BY: grouped-agg pandas "
+            "UDFs do no partial aggregation, so one aggregator receives "
+            "every raw value of its group (OOM at scale). Use the "
+            "two-level salted idiom — sources.sql_api.tdigest_quantiles_sql "
+            "generates it."
+        )
+    if warn:
+        for f in findings:
+            _warnings.warn(f, UserWarning, stacklevel=2)
+    return findings
+
+
 def register_digest_sql(spark, delta: float = DELTA) -> list[str]:
-    """Register the digest aggregates for spark.sql use. Returns names."""
+    """Register the digest aggregates for spark.sql use. Returns names.
+
+    NOTE: ``tdigest_agg`` in a plain single-level ``GROUP BY`` is the
+    100-TB OOM trap (no partial aggregation in grouped-agg pandas
+    UDFs). Run hand-written digest SQL through ``lint_digest_sql``
+    first, or generate it with ``sources.sql_api.tdigest_quantiles_sql``
+    which always emits the safe two-level salted form."""
     agg, merge, quant = make_digest_udfs(delta)
     spark.udf.register("tdigest_agg", agg)
     spark.udf.register("tdigest_merge_agg", merge)

@@ -273,6 +273,13 @@ def _resolve_ttl(state_ttl_s: float | None, ttl_clock: str = "processing"):
     EventTimeTimeout over wall-clock ProcessingTimeTimeout."""
     if ttl_clock not in ("processing", "event"):
         raise ValueError(f"ttl_clock must be processing|event, got {ttl_clock}")
+    # None is the documented 'never evict' sentinel. A caller passing 0
+    # (or a sub-millisecond value that truncates to ttl_ms=0) expects
+    # AGGRESSIVE eviction and would silently get the opposite — reject.
+    if state_ttl_s is not None and state_ttl_s < 0.001:
+        raise ValueError(
+            f"state_ttl_s must be >= 0.001 s or None (never evict), got {state_ttl_s}"
+        )
     ttl_ms = int(state_ttl_s * 1000) if state_ttl_s else 0
     event_ttl = bool(ttl_ms) and ttl_clock == "event"
     timeout = GroupStateTimeout.NoTimeout

@@ -19,19 +19,14 @@ import __spark_entry__ as entrymod
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EARLIER_ROUNDS = [
-    os.path.join(_ROOT, f"CORRECTNESS_r{i:02d}.json") for i in (2, 3, 4)
+    os.path.join(_ROOT, f"CORRECTNESS_r{i:02d}.json") for i in (2, 3, 4, 5)
 ]
 
 MUST_BE_IN_WINDOW = {
-    # new in r5
-    "repeated_spans", "ewma_anomalies", "pq_knn", "bigram_lm_scores",
-    # new in r4
-    "dedup_components_star", "value_percentiles_tdigest",
-    "repeated_passages",
-    # implementation touched in r4 (map-side argmin; checkpoint
-    # discipline; epoch-floor oracle; scale kwarg)
-    "kmeans_assign", "ann_recall", "tune_n_probe", "rate_limit_exceeded",
-    "robust_outliers", "dedup_components",
+    # new or implementation-touched in r6 (Bloom-prefiltered
+    # repeated_spans must re-verify under the prefilter; span_cores is
+    # the containment-support query; others by rotation policy)
+    "repeated_spans",
 }
 
 

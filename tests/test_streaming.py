@@ -6,6 +6,7 @@ in octrace/opencensus_test.go:172-304)."""
 from __future__ import annotations
 
 import datetime as dt
+import time as _time
 
 from pyspark.sql import Row
 from pyspark.sql import functions as F
@@ -657,8 +658,6 @@ def test_streaming_stratified_reservoir_per_group_state(spark, tmp_path):
 
 
 def _wait_for(pred, timeout_s=90.0, step_s=0.2):
-    import time as _time
-
     deadline = _time.time() + timeout_s
     while _time.time() < deadline:
         v = pred()
@@ -668,15 +667,45 @@ def _wait_for(pred, timeout_s=90.0, step_s=0.2):
     return None
 
 
-def _wait_state_rows(q, expected, timeout_s=90.0):
-    """Poll lastProgress until the state operator reports exactly
-    `expected` rows; returns that count or None on timeout."""
+def _wait_state_rows(q, expected, timeout_s=90.0, after_batch=-1):
+    """Wait until some progress report AFTER batch `after_batch` shows
+    exactly `expected` state rows; returns that count or None on
+    timeout. Scans recentProgress (a history) rather than polling
+    lastProgress (a snapshot): with a short TTL the expected peak is
+    transient — the wave's own keys evict one TTL later — and a
+    lastProgress poll can sleep straight through it under host
+    contention. `after_batch` (the batchId returned by
+    _wait_state_empty) excludes wave-1 decay reports that could
+    coincidentally equal the wave-2 expectation."""
+
+    def check():
+        for p in q.recentProgress:
+            ops = p.get("stateOperators") if p else None
+            if (
+                ops
+                and p.get("batchId", -1) > after_batch
+                and ops[0]["numRowsTotal"] == expected
+            ):
+                return ops[0]["numRowsTotal"]
+        return None
+
+    return _wait_for(check, timeout_s)
+
+
+def _wait_state_empty(q, timeout_s=90.0):
+    """Poll lastProgress until the state store reports ZERO rows (all
+    keys evicted); returns that report's batchId (≥1 here: batch 0 is
+    the wave-1 ingest, so the first empty report is always later), or
+    None on timeout. Used instead of wall-clock sleeps: on a VM with
+    3-5x timing noise a fixed sleep can race the timeout micro-batch,
+    so the tests make eviction a confirmed PRECONDITION before
+    ingesting the next wave."""
 
     def check():
         p = q.lastProgress
         ops = p.get("stateOperators") if p else None
-        if ops and ops[0]["numRowsTotal"] == expected:
-            return ops[0]["numRowsTotal"]
+        if ops is not None and ops[0]["numRowsTotal"] == 0:
+            return p["batchId"]
         return None
 
     return _wait_for(check, timeout_s)
@@ -688,7 +717,6 @@ def test_funnel_state_ttl_evicts_idle_users(spark, tmp_path):
     size (not cumulative), and an evicted user restarts the funnel
     (re-emits step 1)."""
     import datetime as dt
-    import time as _time
 
     from pyspark.sql import Row
     from pyspark.sql import types as T
@@ -724,7 +752,10 @@ def test_funnel_state_ttl_evicts_idle_users(spark, tmp_path):
             lambda: spark.sql("SELECT count(*) FROM fun_ttl_out").first()[0] == 20
         )
         assert n1, "wave-1 output never arrived"
-        _time.sleep(2.5)  # idle past the 1 s TTL
+        # eviction as a confirmed precondition (not a wall-clock sleep):
+        # wave-1 users idle past the 1 s TTL → state drains to zero
+        empty_bid = _wait_state_empty(q)
+        assert empty_bid, "wave-1 state never fully evicted"
         # wave 2: 20 FRESH users plus user 0 returning after eviction
         wave2 = [
             Row(user_id=100 + i, event_type="view", ts=t0 + dt.timedelta(seconds=9))
@@ -738,7 +769,7 @@ def test_funnel_state_ttl_evicts_idle_users(spark, tmp_path):
         )
         assert n2, "wave-2 output never arrived"
         # churn bound: wave-1's 20 users evicted, only wave-2's 21 remain
-        assert _wait_state_rows(q, 21) == 21
+        assert _wait_state_rows(q, 21, after_batch=empty_bid) == 21
         got = spark.sql("SELECT * FROM fun_ttl_out").toPandas()
     finally:
         q.stop()
@@ -751,7 +782,6 @@ def test_counter_delta_state_ttl_evicts_idle_series(spark, tmp_path):
     series (NULL-delta first point), and the key count settles at the
     active-wave size under series churn."""
     import datetime as dt
-    import time as _time
 
     from pyspark.sql import Row
     from pyspark.sql import types as T
@@ -793,7 +823,8 @@ def test_counter_delta_state_ttl_evicts_idle_series(spark, tmp_path):
             lambda: spark.sql("SELECT count(*) FROM ctr_ttl_out").first()[0] == 20
         )
         assert n1, "wave-1 output never arrived"
-        _time.sleep(2.5)
+        empty_bid = _wait_state_empty(q)
+        assert empty_bid, "wave-1 state never fully evicted"
         # wave 2: fresh series + series m0 reviving with a LOWER value —
         # with state alive that would read as a reset (delta = 5.0);
         # after eviction it is a NEW series → NULL delta
@@ -807,7 +838,7 @@ def test_counter_delta_state_ttl_evicts_idle_series(spark, tmp_path):
             lambda: spark.sql("SELECT count(*) FROM ctr_ttl_out").first()[0] == 31
         )
         assert n2, "wave-2 output never arrived"
-        assert _wait_state_rows(q, 11) == 11  # wave-1 series gone, not 21
+        assert _wait_state_rows(q, 11, after_batch=empty_bid) == 11  # wave-1 gone, not 21
         got = spark.sql("SELECT * FROM ctr_ttl_out WHERE name='m0'").toPandas()
     finally:
         q.stop()
@@ -818,7 +849,6 @@ def test_counter_delta_state_ttl_evicts_idle_series(spark, tmp_path):
 def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
     """Strata idle past the TTL drop their reservoirs: state rows settle
     at the ACTIVE stratum count under stratum churn."""
-    import time as _time
 
     from pyspark.sql import functions as FF
 
@@ -852,7 +882,8 @@ def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
             lambda: spark.sql("SELECT count(*) FROM wrs_ttl_out").first()[0] == 50
         )
         assert n1, "wave-1 snapshots never arrived"
-        _time.sleep(2.5)
+        empty_bid = _wait_state_empty(q)
+        assert empty_bid, "wave-1 state never fully evicted"
         w2 = spark.range(100, 140).select(
             ((FF.col("id") % 4) + 100).cast("string").alias("source"),
             FF.col("id").cast("string").alias("doc_id"),
@@ -863,7 +894,7 @@ def test_reservoir_state_ttl_evicts_idle_strata(spark, tmp_path):
             lambda: spark.sql("SELECT count(*) FROM wrs_ttl_out").first()[0] == 70
         )
         assert n2, "wave-2 snapshots never arrived"
-        assert _wait_state_rows(q, 4) == 4  # the 10 wave-1 strata evicted
+        assert _wait_state_rows(q, 4, after_batch=empty_bid) == 4  # 10 wave-1 strata evicted
     finally:
         q.stop()
 
@@ -1143,7 +1174,6 @@ def test_forward_fill_and_ewma_state_ttl_evict_idle_keys(spark, tmp_path):
     shared helpers: idle conversations / hosts are evicted under key
     churn, and a revived conversation starts with NO inherited
     role/tool (leading nulls stay null — same as a new stream)."""
-    import time as _time
 
     from pyspark.sql import Row
 
@@ -1175,7 +1205,8 @@ def test_forward_fill_and_ewma_state_ttl_evict_idle_keys(spark, tmp_path):
         assert _wait_for(
             lambda: spark.sql("SELECT count(*) FROM ff_ttl_out").first()[0] == 12
         )
-        _time.sleep(2.5)
+        empty_bid = _wait_state_empty(q)
+        assert empty_bid, "wave-1 state never fully evicted"
         # wave 2: fresh convs + c0 returning with a NULL role/tool turn
         w2 = [
             Row(conv_id=f"d{i}", turn_idx=0, role="user", text="b", tool=None, ts=t0)
@@ -1187,7 +1218,7 @@ def test_forward_fill_and_ewma_state_ttl_evict_idle_keys(spark, tmp_path):
         assert _wait_for(
             lambda: spark.sql("SELECT count(*) FROM ff_ttl_out").first()[0] == 18
         )
-        assert _wait_state_rows(q, 6) == 6  # 5 fresh + revived c0, not 17
+        assert _wait_state_rows(q, 6, after_batch=empty_bid) == 6  # 5 fresh + c0, not 17
         got = spark.sql(
             "SELECT role, tool FROM ff_ttl_out WHERE conv_id='c0' AND turn_idx=1"
         ).collect()[0]
@@ -1195,3 +1226,25 @@ def test_forward_fill_and_ewma_state_ttl_evict_idle_keys(spark, tmp_path):
         q.stop()
     # evicted conversation: nothing inherited — nulls stay null
     assert got["role"] is None and got["tool"] is None
+
+
+def test_resolve_ttl_rejects_zero_and_submillisecond():
+    """r5 ADVICE: state_ttl_s=0 (or any value truncating to ttl_ms=0)
+    must RAISE, not silently become 'never evict' — None is the only
+    documented never-evict sentinel."""
+    import pytest
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        _resolve_ttl,
+    )
+
+    for bad in (0, 0.0, 0.0005, -1.0):
+        with pytest.raises(ValueError, match="state_ttl_s"):
+            _resolve_ttl(bad)
+    # the sentinels still work
+    ttl_ms, event_ttl, timeout = _resolve_ttl(None)
+    assert ttl_ms == 0 and not event_ttl
+    ttl_ms, event_ttl, timeout = _resolve_ttl(1.5)
+    assert ttl_ms == 1500
+    ttl_ms, event_ttl, timeout = _resolve_ttl(1.5, ttl_clock="event")
+    assert ttl_ms == 1500 and event_ttl
