@@ -778,6 +778,63 @@ def test_repeated_spans_island_counting_semantics(spark):
     assert all("prefix shared" in s for s in out), sorted(out)
 
 
+def test_repeated_spans_prefilter_is_output_invariant(spark):
+    """The counting-bucket prefilter is FALSE-POSITIVE-ONLY (a seed in
+    ≥ min_docs docs occurs ≥ min_docs times, so its bucket always
+    reaches the threshold): output must be bit-identical with the
+    prefilter on and off — on a dense fixture (planted boilerplate),
+    a sparse one (hash soup + one planted block), and an all-unique
+    corpus where the filter prunes everything and the result is empty
+    both ways."""
+    from pyspark.sql import functions as FF
+
+    from apm_opentelemetry_collector_spark.operators.dedup import repeated_spans
+
+    def canon(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # dense: the boilerplate fixture from the maximal-extent test
+    block = "this text is repeated verbatim in many docs"
+    dense = spark.createDataFrame(
+        [(i, f"alpha{i}{i} {block} omega{i}{i}") for i in range(6)]
+        + [(10 + i, " ".join(f"w{i}x{j}q" for j in range(30))) for i in range(4)],
+        "doc_id long, text string",
+    )
+    a = canon(repeated_spans(dense, seed_len=16, min_len=20, min_docs=3,
+                             prefilter=False))
+    b = canon(repeated_spans(dense, seed_len=16, min_len=20, min_docs=3,
+                             prefilter=True))
+    assert a == b and len(a) >= 1
+
+    # sparse: pseudo-random docs, one planted block in a few
+    boiler = "subscribe to our newsletter today"
+    sparse = spark.range(200).select(
+        FF.col("id").alias("doc_id"),
+        FF.when(
+            FF.col("id") % 40 == 0,
+            FF.concat(FF.sha2(FF.col("id").cast("string"), 256),
+                      FF.lit(" " + boiler + " "),
+                      FF.sha2(FF.concat(FF.lit("z"), FF.col("id").cast("string")), 256)),
+        ).otherwise(
+            FF.concat(FF.sha2(FF.concat(FF.lit("a"), FF.col("id").cast("string")), 256),
+                      FF.sha2(FF.concat(FF.lit("b"), FF.col("id").cast("string")), 256))
+        ).alias("text"),
+    )
+    a = canon(repeated_spans(sparse, seed_len=16, min_len=20, min_docs=2,
+                             prefilter=False))
+    b = canon(repeated_spans(sparse, seed_len=16, min_len=20, min_docs=2,
+                             prefilter=True))
+    assert a == b and any(boiler in r[1] for r in a)
+
+    # all-unique: filter prunes everything, result empty on both paths
+    uniq = spark.range(50).select(
+        FF.col("id").alias("doc_id"),
+        FF.sha2(FF.concat(FF.lit("u"), FF.col("id").cast("string")), 256).alias("text"),
+    )
+    assert canon(repeated_spans(uniq, prefilter=True)) == []
+    assert canon(repeated_spans(uniq, prefilter=False)) == []
+
+
 def test_bigram_lm_scores_rank_gibberish_below_prose(spark):
     """The corpus-trained bigram score must order documents sensibly:
     docs made of a repeated common phrase (high-count bigrams) score
