@@ -1051,6 +1051,17 @@ def q_repeated_spans(spark, sf_dir):
     return dd.repeated_spans(_load(spark, sf_dir, "documents"))
 
 
+def q_span_cores(spark, sf_dir):
+    """Containment-counted shared cores (r6): repeated_spans' islands
+    split a shared core's support across differently-extended variants;
+    span_cores decomposes each island's seed-support profile into its
+    level-set runs (the block-local suffix-rank signal), counts each
+    candidate's support by CONTAINMENT via a first-gram-blocked
+    position join, and keeps maximal cores — the distributed
+    relational form of suffix-array/LCP duplicate-span support."""
+    return dd.span_cores(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1209,6 +1220,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_query_window.py enforces against both JSONs).
     """
     return {
+        # --- new in r6 ------------------------------------------------------
+        "span_cores": q_span_cores,
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
@@ -2420,6 +2433,7 @@ WHERE da.source <> db.source""",
         "dedup_components_star": _components_star_sql(),
         "repeated_passages": dd.repeated_passages_sql(),
         "repeated_spans": dd.repeated_spans_sql(),
+        "span_cores": dd.span_cores_sql(),
         "ewma_anomalies": _ewma_sql(),
         "pq_knn": _pq_sql(),
         "bigram_lm_scores": textfn.bigram_lm_scores_sql(),

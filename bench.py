@@ -103,6 +103,8 @@ def main() -> None:
         "ewma_anomalies",
         "pq_knn",
         "bigram_lm_scores",
+        # r6 additions
+        "span_cores",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
@@ -118,6 +120,12 @@ def main() -> None:
     REPS = 3
     QUERY_BUDGET_S = 40.0
     SOFT_DEADLINE_S = 420.0
+    # r4 VERDICT #8 escape valve, engaged in r6 when span_cores joined
+    # the headline: the heaviest stable query runs once so the bench
+    # stays under the 5-minute budget (its round-over-round story is
+    # carried by the r4/r5 BENCH records; a single rep still catches
+    # regressions at the 2x level that matters)
+    SINGLE_REP = {"dedup_components_star"}
     E2E = "pipeline_e2e_synth"
     workdir = tempfile.mkdtemp(prefix="bench_")
     qmap = entry.queries()
@@ -128,6 +136,8 @@ def main() -> None:
             for name in loop:
                 n = len(times[name])
                 if n >= REPS:
+                    continue
+                if name in SINGLE_REP and n >= 1:
                     continue
                 if name != E2E:
                     # Budget caps use the MINIMUM so far and only after 2

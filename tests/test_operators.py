@@ -778,6 +778,72 @@ def test_repeated_spans_island_counting_semantics(spark):
     assert all("prefix shared" in s for s in out), sorted(out)
 
 
+def test_span_cores_containment_support(spark):
+    """r5 VERDICT missing #2, inverted from documenting-the-limitation
+    to asserting-the-fix: two doc groups extend a planted core
+    differently; repeated_spans splits the support across island
+    variants and never reports the core, while span_cores counts
+    support by CONTAINMENT — the core reports n_docs = both groups (3:
+    A, B, and C) at its maximal shared extent, and the A/B-extended
+    variant still reports separately at its own support (2)."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        repeated_spans,
+        span_cores,
+    )
+
+    core = "the quick brown fox jumps over it"   # 33 norm chars
+    rows = [
+        (0, f"prefix shared {core} tailA0"),
+        (1, f"prefix shared {core} tailB1"),
+        (2, f"zq9 {core} xw7"),
+        (3, "totally unrelated filler " + " ".join(f"u{j}" for j in range(20))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r["core"]: r for r in span_cores(
+        docs, seed_len=16, min_len=20, min_docs=2
+    ).collect()}
+    # the shared core at maximal CONTAINMENT extent (boundary spaces are
+    # shared by all three docs) with support from BOTH groups
+    core_span = f" {core} "
+    assert core_span in got, sorted(got)
+    assert got[core_span]["n_docs"] == 3 and got[core_span]["n_total"] == 3
+    # the A/B variant is longer, has its own (smaller) support, and is
+    # NOT pruned (maximality only drops equal-support containment)
+    ab = [s for s in got if "prefix shared" in s]
+    assert len(ab) == 1 and got[ab[0]]["n_docs"] == 2
+    assert len(got) == 2
+    # contrast: repeated_spans (exact-island support) misses the core
+    old = {r["span"] for r in repeated_spans(
+        docs, seed_len=16, min_len=20, min_docs=2
+    ).collect()}
+    assert core_span not in old
+
+
+def test_span_cores_agreeing_docs_match_repeated_spans(spark):
+    """When all sharing docs AGREE on the maximal extent (no divergent
+    flanks), containment support equals exact-island support: span_cores
+    and repeated_spans report the same rows."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        repeated_spans,
+        span_cores,
+    )
+
+    block = "this software is provided as is without warranty"
+    rows = [(i, f"alpha{i}{i} {block} omega{i}{i}") for i in range(5)]
+    rows += [(10 + i, " ".join(f"w{i}x{j}q" for j in range(25))) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(
+        (r["core"], r["core_len"], r["n_docs"], r["n_total"])
+        for r in span_cores(docs, seed_len=16, min_len=20, min_docs=3).collect()
+    )
+    b = sorted(
+        (r["span"], r["span_len"], r["n_docs"], r["n_total"])
+        for r in repeated_spans(docs, seed_len=16, min_len=20, min_docs=3).collect()
+    )
+    assert a == b and len(a) == 1
+
+
 def test_repeated_spans_prefilter_is_output_invariant(spark):
     """The counting-bucket prefilter is FALSE-POSITIVE-ONLY (a seed in
     ≥ min_docs docs occurs ≥ min_docs times, so its bucket always

@@ -236,7 +236,9 @@ def test_new_queries_no_python_nodes(spark):
                  "rate_limit_exceeded",
                  # r5
                  "repeated_spans", "ewma_anomalies", "pq_knn",
-                 "bigram_lm_scores"):
+                 "bigram_lm_scores",
+                 # r6
+                 "span_cores"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

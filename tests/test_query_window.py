@@ -23,9 +23,10 @@ EARLIER_ROUNDS = [
 ]
 
 MUST_BE_IN_WINDOW = {
-    # new or implementation-touched in r6 (Bloom-prefiltered
-    # repeated_spans must re-verify under the prefilter; span_cores is
-    # the containment-support query; others by rotation policy)
+    # new or implementation-touched in r6: span_cores is the
+    # containment-support query; repeated_spans gained the (default-off)
+    # counting-bucket prefilter and re-verifies under the same hash
+    "span_cores",
     "repeated_spans",
 }
 
