@@ -41,6 +41,7 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("last_role", T.StringType()),
         T.StructField("last_tool", T.StringType()),
+        T.StructField("max_us", T.LongType()),  # max event ts seen, epoch µs
     ]
 )
 
@@ -66,9 +67,15 @@ def _fill_group(
     stream — exactly the receiver's per-stream Node/Resource memory
     (octrace/opencensus.go:150-165).
     """
-    last_role, last_tool = state.get if state.exists else (None, None)
+    last_role, last_tool, max_us = (
+        state.get if state.exists else (None, None, 0)
+    )
+    max_us = int(max_us or 0)
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
+        if len(pdf):
+            ts_us = pdf["ts"].astype("int64") // 1000
+            max_us = max(max_us, int(ts_us.max()))
         fills = {}
         for col, last in (("role", last_role), ("tool", last_tool)):
             # vectorized last-non-null: pandas ffill within the chunk,
@@ -84,28 +91,34 @@ def _fill_group(
                 last_tool = fills["tool"].iloc[-1]
         pdf = pdf.assign(**fills)
         yield pdf[[f.name for f in FILLED_SCHEMA.fields]]
-    state.update((last_role, last_tool))
+    state.update((last_role, last_tool, max_us))
+    return max_us
 
 
 def forward_fill_stateful(
-    stream: DataFrame, state_ttl_s: float | None = None
+    stream: DataFrame,
+    state_ttl_s: float | None = None,
+    ttl_clock: str = "processing",
 ) -> DataFrame:
     """Node-multiplexing forward fill with cross-micro-batch state.
 
-    state_ttl_s evicts conversations idle longer than the TTL
-    (processing clock) — a finished conversation's two-string state
-    otherwise lives for the life of the stream, so the state store
-    grows with every conversation EVER seen instead of the active set.
-    A conversation resuming after eviction starts with no inherited
-    role/tool (leading nulls stay null until its next non-null), the
-    same as a brand-new stream in the reference receiver."""
-    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
+    state_ttl_s evicts conversations idle longer than the TTL — a
+    finished conversation's two-string state otherwise lives for the
+    life of the stream, so the state store grows with every
+    conversation EVER seen instead of the active set. A conversation
+    resuming after eviction starts with no inherited role/tool (leading
+    nulls stay null until its next non-null), the same as a brand-new
+    stream in the reference receiver. ttl_clock: "processing" (wall
+    time since last seen) or "event" (the conversation's max event time
+    falls ttl behind the stream's watermark — the right clock when
+    replaying history; caller must set withWatermark on ts)."""
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, ttl_clock)
 
     def fill(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if _evict_if_timed_out(state, ttl_ms):
             return
-        yield from _fill_group(key, pdfs, state)
-        _arm_ttl(state, ttl_ms, event_ttl)
+        max_us = yield from _fill_group(key, pdfs, state)
+        _arm_ttl(state, ttl_ms, event_ttl, max_us)
 
     return stream.groupBy("conv_id").applyInPandasWithState(
         fill,
@@ -194,6 +207,7 @@ EWMA_STATE_SCHEMA = T.StructType(
         T.StructField("mean", T.DoubleType()),
         T.StructField("var", T.DoubleType()),
         T.StructField("n", T.LongType()),
+        T.StructField("max_us", T.LongType()),  # max event ts seen, epoch µs
     ]
 )
 
@@ -204,6 +218,7 @@ def ewma_anomalies(
     k: float = 3.0,
     min_points: int = 5,
     state_ttl_s: float | None = None,
+    ttl_clock: str = "processing",
 ) -> DataFrame:
     """Stateful streaming anomaly detection per host: exponentially
     weighted mean/variance carried ACROSS micro-batches; a point whose
@@ -215,17 +230,26 @@ def ewma_anomalies(
     state, the numeric sibling of the forward-fill's string state.
     Expects columns (host, ts, value).
 
-    state_ttl_s evicts hosts idle past the TTL (processing clock); a
-    revived host restarts its warm-up from n=0.
+    state_ttl_s evicts hosts idle past the TTL; a revived host restarts
+    its warm-up from n=0. ttl_clock: "processing" (wall time since last
+    seen) or "event" (the host's max event time falls ttl behind the
+    watermark — for history replay; caller sets withWatermark on ts).
     """
-    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, ttl_clock)
 
     def detect(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if _evict_if_timed_out(state, ttl_ms):
             return
-        mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
+        mean, var, n, max_us = (
+            state.get if state.exists else (0.0, 0.0, 0, 0)
+        )
+        max_us = int(max_us or 0)
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
+            if len(pdf):
+                max_us = max(
+                    max_us, int(pdf["ts"].astype("int64").max() // 1000)
+                )
             zs, flags = [], []
             for x in pdf["value"].astype(float):
                 if n >= min_points and var > 0:
@@ -251,8 +275,8 @@ def ewma_anomalies(
                     "is_anomaly": flags,
                 }
             )
-        state.update((float(mean), float(var), int(n)))
-        _arm_ttl(state, ttl_ms, event_ttl)
+        state.update((float(mean), float(var), int(n), int(max_us)))
+        _arm_ttl(state, ttl_ms, event_ttl, max_us)
 
     return stream.groupBy("host").applyInPandasWithState(
         detect,
@@ -594,6 +618,7 @@ WRS_STREAM_STATE_SCHEMA = T.StructType(
         T.StructField("ids", T.ArrayType(T.StringType())),
         T.StructField("weights", T.ArrayType(T.DoubleType())),
         T.StructField("keys", T.ArrayType(T.DoubleType())),
+        T.StructField("max_us", T.LongType()),  # max event ts seen, epoch µs
     ]
 )
 
@@ -605,6 +630,8 @@ def weighted_reservoir_stateful(
     id_col: str = "doc_id",
     group_cols: list[str] | None = None,
     state_ttl_s: float | None = None,
+    ttl_clock: str = "processing",
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Streaming twin of sample.weighted_reservoir_sample — A-ES over an
     unbounded stream with BOUNDED keyed state (NOTES r4 candidate #2 /
@@ -635,12 +662,17 @@ def weighted_reservoir_stateful(
     reservoirs are dropped), bounding the state store by the ACTIVE
     stratum count under stratum churn; an evicted stratum restarts
     from an empty reservoir on revival. None = never evict.
-    Processing-time only: the reservoir's keyed projection carries no
-    event-time column (the ranking key is arrival-order independent by
-    construction), so there is no event clock to evict by — unlike the
-    funnel/counter-delta operators' ttl_clock="event" option.
+    ttl_clock="event" requires ts_col (the reservoir's keyed projection
+    otherwise carries no event-time column — the ranking key is
+    arrival-order independent by construction): the stratum's max
+    event time falling ttl behind the watermark evicts it — for
+    history replay; caller sets withWatermark on ts_col.
     """
     from ..operators.sample import _u48
+
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, ttl_clock)
+    if event_ttl and not ts_col:
+        raise ValueError('ttl_clock="event" requires ts_col')
 
     w = F.col(weight_col).cast("double")
     gcols = list(group_cols or [])
@@ -649,13 +681,11 @@ def weighted_reservoir_stateful(
         F.col(id_col).cast("string").alias("_id"),
         w.alias("_w"),
         (F.log(_u48(id_col)) / w).alias("_key"),
+        *([F.col(ts_col).alias("_ts")] if ts_col else []),
         *([] if gcols else [F.lit(0).alias("_g")]),
     )
     out_fields = [T.StructField(f.name, f.dataType) for f in keyed.schema.fields if f.name in gcols]
     out_schema = T.StructType(out_fields + list(WRS_STREAM_SCHEMA.fields))
-
-    # processing-clock only (no event column in the keyed projection)
-    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
 
     def hold(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if _evict_if_timed_out(state, ttl_ms):
@@ -663,9 +693,16 @@ def weighted_reservoir_stateful(
         # seq bumps ONCE per invocation (= per micro-batch per group),
         # after draining every Arrow chunk of the iterator — a group
         # split across chunks still emits exactly one snapshot.
-        seq, ids, ws, ks = state.get if state.exists else (0, [], [], [])
+        seq, ids, ws, ks, max_us = (
+            state.get if state.exists else (0, [], [], [], 0)
+        )
         ids, ws, ks = list(ids or []), list(ws or []), list(ks or [])
+        max_us = int(max_us or 0)
         for pdf in pdfs:
+            if ts_col and len(pdf):
+                max_us = max(
+                    max_us, int(pdf["_ts"].astype("int64").max() // 1000)
+                )
             bk = pdf["_key"].to_numpy(dtype=float)
             bi = pdf["_id"].to_numpy(dtype=object)
             bw = pdf["_w"].to_numpy(dtype=float)
@@ -693,13 +730,140 @@ def weighted_reservoir_stateful(
         for g, v in zip(gcols, key):
             snap[g] = v
         yield snap[[*gcols, "snapshot", "id", "weight", "wrs_key"]]
-        state.update((int(seq), ids, ws, ks))
-        _arm_ttl(state, ttl_ms, event_ttl)
+        state.update((int(seq), ids, ws, ks, int(max_us)))
+        _arm_ttl(state, ttl_ms, event_ttl, max_us)
 
     return keyed.groupBy(*(gcols or ["_g"])).applyInPandasWithState(
         hold,
         out_schema,
         WRS_STREAM_STATE_SCHEMA,
+        "append",
+        timeout,
+    )
+
+
+PASSAGE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("fingerprint", T.StringType()),
+        T.StructField("passage", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+    ]
+)
+
+PASSAGE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("n_total", T.LongType()),
+        T.StructField("passage", T.StringType()),
+    ]
+)
+
+
+def repeated_passages_stateful(
+    stream: DataFrame,
+    passage_len: int | None = None,
+    stride: int | None = None,
+    min_docs: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming twin of operators/dedup.repeated_passages — the
+    two-level counting aggregate as keyed state (r5 VERDICT next #5):
+    the window explode + md5 fingerprint are the SAME Column
+    expressions as the batch operator (stateless, run per micro-batch);
+    the per-fingerprint (n_docs, n_total, min passage) counters live in
+    keyed state and merge each batch's contribution, so boilerplate is
+    detected INCREMENTALLY as documents stream in instead of re-scanning
+    the corpus.
+
+    Per-key state is O(1) — three counters and one passage_len-char
+    string — because doc-distinctness is counted incrementally: each
+    invocation counts its batch's DISTINCT doc ids (vectorized pandas
+    nunique) and adds them, which equals the batch operator's exact
+    count(DISTINCT id) PROVIDED each document is ingested exactly once
+    (the standard curation ingest; under at-least-once transport put
+    dedup_stream keyed on the doc id in front). The KEY-set — every
+    distinct window fingerprint ever seen, including cold count-1 seeds
+    the batch aggregate discards — is the unbounded resource, which is
+    exactly what state_ttl_s bounds (shared _resolve_ttl machinery,
+    processing clock: a fingerprint not reinforced within the TTL is
+    dropped; boilerplate recurring across the horizon keeps itself
+    alive; counts restart after eviction, so choose TTL ≥ the dedup
+    horizon you care about).
+
+    Emission: a fingerprint emits its updated cumulative row whenever a
+    batch touches it AND n_docs ≥ min_docs (append mode cannot
+    retract). n_total strictly increases per emission, so readers take
+    the max-n_total row per fingerprint — asserted ≡ the batch operator
+    on the full corpus for any slicing of documents into micro-batches
+    (tests/test_streaming.py).
+    """
+    from ..functions.text import normalized
+    from ..operators.dedup import PASSAGE_LEN, PASSAGE_MIN_DOCS, PASSAGE_STRIDE
+
+    passage_len = PASSAGE_LEN if passage_len is None else passage_len
+    stride = PASSAGE_STRIDE if stride is None else stride
+    min_docs = PASSAGE_MIN_DOCS if min_docs is None else min_docs
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
+
+    norm = normalized(text_col)
+    base = stream.select(
+        F.col(id_col).cast("string").alias("id"), norm.alias("norm")
+    ).filter(F.length("norm") >= passage_len)
+    keyed = base.select(
+        "id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("norm") - (passage_len - 1), F.lit(stride)
+            )
+        ).alias("i"),
+        "norm",
+    ).select(
+        "id",
+        F.substring(F.col("norm"), F.col("i"), F.lit(passage_len)).alias("passage"),
+    ).select(
+        "id", "passage", F.md5(F.col("passage").cast("binary")).alias("fingerprint")
+    )
+
+    def count(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if _evict_if_timed_out(state, ttl_ms):
+            return
+        n_docs, n_total, passage = (
+            state.get if state.exists else (0, 0, None)
+        )
+        touched = False
+        # distinct-doc set accumulated ACROSS Arrow chunks of this
+        # invocation (a doc repeating the passage may split across
+        # chunks; per-chunk nunique would double-count it). Bounded by
+        # this batch's distinct docs for this fingerprint — not state.
+        batch_ids: set = set()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            batch_ids.update(pdf["id"].unique())
+            n_total += int(len(pdf))
+            bmin = pdf["passage"].min()
+            passage = bmin if passage is None else min(passage, bmin)
+        n_docs += len(batch_ids)
+        state.update((int(n_docs), int(n_total), passage))
+        _arm_ttl(state, ttl_ms, event_ttl)
+        if touched and n_docs >= min_docs:
+            yield pd.DataFrame(
+                {
+                    "fingerprint": [key[0]],
+                    "passage": [passage],
+                    "n_docs": [n_docs],
+                    "n_total": [n_total],
+                }
+            )
+
+    return keyed.groupBy("fingerprint").applyInPandasWithState(
+        count,
+        PASSAGE_STREAM_SCHEMA,
+        PASSAGE_STATE_SCHEMA,
         "append",
         timeout,
     )

@@ -8,6 +8,7 @@ from __future__ import annotations
 import datetime as dt
 import time as _time
 
+import pandas as pd
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -1248,3 +1249,347 @@ def test_resolve_ttl_rejects_zero_and_submillisecond():
     assert ttl_ms == 1500
     ttl_ms, event_ttl, timeout = _resolve_ttl(1.5, ttl_clock="event")
     assert ttl_ms == 1500 and event_ttl
+
+
+def test_forward_fill_event_time_ttl_evicts_by_watermark(spark, tmp_path):
+    """ttl_clock='event' on the forward fill: conversations whose own
+    event clock falls ttl behind the watermark are evicted regardless
+    of replay speed; a conversation touched within the event-time TTL
+    keeps its inheritance across the same watermark advance, and a
+    conversation reviving AFTER the watermark evicted it inherits
+    nothing."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    sec = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    path = str(tmp_path / "ff_ettl_in")
+    w1 = [
+        Row(conv_id=f"c{i}", turn_idx=0, role="user", text="a", tool="search",
+            ts=sec(0))
+        for i in range(8)
+    ]
+    # c0 touched BEFORE the watermark can fire its timeout (watermark
+    # only advances after this batch) → inherits; d0/d1 fresh
+    w2 = [Row(conv_id="c0", turn_idx=1, role=None, text="b", tool=None,
+              ts=sec(300))] + [
+        Row(conv_id=f"d{i}", turn_idx=0, role="tool", text="c", tool=None,
+            ts=sec(300))
+        for i in range(2)
+    ]
+    # watermark-advancer batch: timeouts for c1-c7 (armed at t0+30,
+    # watermark already t0+290) fire HERE — a revived key's data would
+    # otherwise land in the same batch as its timeout, and data wins
+    w3 = [Row(conv_id="e0", turn_idx=0, role="assistant", text="e", tool=None,
+              ts=sec(320))]
+    # c1 was evicted in wave 3's batch → revival inherits nothing
+    w4 = [Row(conv_id="c1", turn_idx=1, role=None, text="d", tool=None,
+              ts=sec(330))]
+    for w in (w1, w2, w3, w4):
+        spark.createDataFrame(w, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = stream_transcripts(spark, path).withWatermark("ts", "10 seconds")
+    q = (
+        forward_fill_stateful(stream, state_ttl_s=30.0, ttl_clock="event")
+        .writeStream.format("memory")
+        .queryName("ff_ettl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = None
+        for p in reversed(q.recentProgress):
+            ops = p.get("stateOperators")
+            if ops:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+        got = spark.sql("SELECT * FROM ff_ettl_out").toPandas()
+    finally:
+        q.stop()
+
+    # c0 (touched), d0, d1, e0, re-created c1 survive; c2-c7 evicted
+    assert state_rows == 5
+    c0 = got[(got["conv_id"] == "c0") & (got["turn_idx"] == 1)].iloc[0]
+    assert c0["role"] == "user" and c0["tool"] == "search"  # state survived
+    c1 = got[(got["conv_id"] == "c1") & (got["turn_idx"] == 1)].iloc[0]
+    assert pd.isna(c1["role"]) and pd.isna(c1["tool"])      # nothing inherited
+
+
+def test_ewma_event_time_ttl_evicts_by_watermark(spark, tmp_path):
+    """EWMA twin of the event-clock eviction test: hosts idle in EVENT
+    time beyond the TTL are dropped when the watermark passes; a host
+    touched within the TTL keeps its running state across the same
+    advance."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as TT
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        ewma_anomalies,
+    )
+
+    schema = TT.StructType(
+        [
+            TT.StructField("host", TT.StringType()),
+            TT.StructField("ts", TT.TimestampType()),
+            TT.StructField("value", TT.DoubleType()),
+        ]
+    )
+    sec = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    path = str(tmp_path / "ewma_ettl_in")
+    w1 = [Row(host=f"h{i}", ts=sec(0), value=10.0) for i in range(8)]
+    w2 = [Row(host="h0", ts=sec(300), value=11.0)] + [
+        Row(host=f"g{i}", ts=sec(300), value=1.0) for i in range(3)
+    ]
+    for w in (w1, w2):
+        spark.createDataFrame(w, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        ewma_anomalies(stream, state_ttl_s=30.0, ttl_clock="event")
+        .writeStream.format("memory")
+        .queryName("ewma_ettl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = None
+        for p in reversed(q.recentProgress):
+            ops = p.get("stateOperators")
+            if ops:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+        n_out = spark.sql("SELECT count(*) FROM ewma_ettl_out").first()[0]
+    finally:
+        q.stop()
+
+    assert state_rows == 4   # h0 (touched) + g0-g2; h1-h7 evicted
+    assert n_out == 12       # every point emitted exactly once
+
+
+def test_reservoir_event_time_ttl_evicts_by_watermark(spark, tmp_path):
+    """Reservoir event-clock eviction (new in r6 — the op was
+    processing-only): strata idle in event time beyond the TTL drop
+    their reservoirs on watermark advance; a touched stratum's
+    reservoir SURVIVES the same advance (its wave-2 snapshot still
+    holds wave-1 members)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as TT
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        weighted_reservoir_stateful,
+    )
+
+    schema = TT.StructType(
+        [
+            TT.StructField("source", TT.StringType()),
+            TT.StructField("doc_id", TT.StringType()),
+            TT.StructField("weight", TT.DoubleType()),
+            TT.StructField("ts", TT.TimestampType()),
+        ]
+    )
+    sec = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    path = str(tmp_path / "wrs_ettl_in")
+    w1 = [
+        Row(source=f"s{i % 5}", doc_id=f"a{i}", weight=float(i + 1), ts=sec(0))
+        for i in range(20)
+    ]
+    w2 = [Row(source="s0", doc_id="z0", weight=100.0, ts=sec(300)),
+          Row(source="s9", doc_id="z1", weight=1.0, ts=sec(300))]
+    for w in (w1, w2):
+        spark.createDataFrame(w, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "10 seconds")
+    )
+    q = (
+        weighted_reservoir_stateful(
+            stream, k=3, weight_col="weight", group_cols=["source"],
+            state_ttl_s=30.0, ttl_clock="event", ts_col="ts",
+        )
+        .writeStream.format("memory")
+        .queryName("wrs_ettl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = None
+        for p in reversed(q.recentProgress):
+            ops = p.get("stateOperators")
+            if ops:
+                state_rows = ops[0]["numRowsTotal"]
+                break
+        got = spark.sql("SELECT * FROM wrs_ettl_out").toPandas()
+    finally:
+        q.stop()
+
+    assert state_rows == 2   # s0 (touched) + s9; s1-s4 evicted
+    # s0's wave-2 snapshot keeps wave-1 members alongside the new doc
+    s0 = got[got["source"] == "s0"]
+    snap2 = s0[s0["snapshot"] == s0["snapshot"].max()]
+    assert "z0" in set(snap2["id"])
+    assert any(i.startswith("a") for i in snap2["id"])
+
+
+def test_reservoir_event_ttl_requires_ts_col():
+    import pytest
+
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        weighted_reservoir_stateful,
+    )
+
+    with pytest.raises(ValueError, match="ts_col"):
+        weighted_reservoir_stateful(
+            None, k=3, weight_col="w", state_ttl_s=1.0, ttl_clock="event"
+        )
+
+
+def _passage_reader(spark, table):
+    """Max-n_total row per fingerprint = the cumulative final state
+    (n_total strictly increases per emission)."""
+    df = spark.sql(f"SELECT * FROM {table}").toPandas()
+    if not len(df):
+        return df
+    idx = df.groupby("fingerprint")["n_total"].idxmax()
+    return df.loc[idx]
+
+
+def test_repeated_passages_stream_equals_batch_on_any_slicing(spark, tmp_path):
+    """The stateful two-level counter must reproduce the batch
+    repeated_passages output exactly — same fingerprints, passages, and
+    counts — when the corpus arrives sliced across micro-batches with
+    block-sharing docs split across slices."""
+    from apm_opentelemetry_collector_spark.operators.dedup import repeated_passages
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        repeated_passages_stateful,
+    )
+
+    block = (
+        "this agreement is governed by the laws of the state and any "
+        "dispute shall be resolved in its courts"
+    )
+    rows = []
+    for i in range(6):
+        rows.append((i, f"intro{i}{i} {block} outro{i}{i}"))
+    for i in range(6, 12):
+        rows.append((i, " ".join(f"q{i}z{j}w" for j in range(30))))
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "pass_in")
+    # slice so block-sharing docs land in DIFFERENT micro-batches
+    for lo, hi in ((0, 2), (2, 7), (7, 12)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        repeated_passages_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("pass_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = _passage_reader(spark, "pass_out")
+    finally:
+        q.stop()
+
+    batch = repeated_passages(
+        spark.createDataFrame(rows, schema)
+    ).toPandas()
+    key = ["fingerprint", "passage", "n_docs", "n_total"]
+    a = sorted(map(tuple, got[key].itertuples(index=False)))
+    b = sorted(map(tuple, batch[key].itertuples(index=False)))
+    assert a == b and len(a) > 0
+
+
+def test_repeated_passages_stream_ttl_bounds_fingerprints(spark, tmp_path):
+    """state_ttl_s bounds the KEY-set (every fingerprint ever seen,
+    including cold count-1 seeds): after the TTL drains wave-1 state to
+    zero, wave-2 counts restart — a single fresh occurrence of wave-1
+    boilerplate stays below min_docs and is NOT emitted with inflated
+    cumulative counts."""
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        repeated_passages_stateful,
+    )
+
+    block = (
+        "subscribe to our newsletter for weekly updates and exclusive "
+        "member offers every friday"
+    )
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "pass_ttl_in")
+    w1 = [(i, f"aa{i}{i} {block} zz{i}{i}") for i in range(4)]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        repeated_passages_stateful(stream, state_ttl_s=1.0)
+        .writeStream.format("memory")
+        .queryName("pass_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        n1 = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM pass_ttl_out").first()[0] > 0
+        )
+        assert n1, "wave-1 hot passages never emitted"
+        max_docs_w1 = spark.sql(
+            "SELECT max(n_docs) FROM pass_ttl_out"
+        ).first()[0]
+        assert max_docs_w1 == 4
+        empty_bid = _wait_state_empty(q)
+        assert empty_bid, "wave-1 fingerprint state never fully evicted"
+        # wave 2: ONE fresh doc with the same block + one unique doc
+        w2 = [(100, f"mm00 {block} nn00"), (101, "unique " + " ".join(
+            f"r{j}t" for j in range(30)))]
+        spark.createDataFrame(w2, schema).coalesce(1).write.mode("append").parquet(
+            path
+        )
+        # wave 2 must be PROCESSED (state re-created for its fingerprints)
+        def wave2_processed():
+            for p in q.recentProgress:
+                ops = p.get("stateOperators") if p else None
+                if (
+                    ops
+                    and p.get("batchId", -1) > empty_bid
+                    and ops[0]["numRowsTotal"] > 0
+                ):
+                    return True
+            return False
+
+        assert _wait_for(wave2_processed), "wave-2 state never re-created"
+        rows_after = spark.sql(
+            "SELECT max(n_docs) FROM pass_ttl_out"
+        ).first()[0]
+    finally:
+        q.stop()
+    # counts restarted: no emission ever reported n_docs = 5 (which the
+    # surviving cumulative state would have produced)
+    assert rows_after == 4
