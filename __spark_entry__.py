@@ -1025,6 +1025,19 @@ def q_pq_knn(spark, sf_dir):
     return out.withColumn("adc_d2", F.round("adc_d2", 6))
 
 
+def q_ivfpq_knn(spark, sf_dir):
+    """IVFADC ANN: coarse cell pruning (n_probe nearest centroids by
+    squared L2) + product-quantized RESIDUALS scored by asymmetric
+    distance — the production composition of ivf_knn and pq_knn. The
+    postings table that crosses the cell join carries only
+    (id, cell, m codes); codebooks ride the tiny probed side."""
+    from apm_opentelemetry_collector_spark.operators.similarity import ivfpq_knn
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = ivfpq_knn(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.withColumn("adc_d2", F.round("adc_d2", 6))
+
+
 def q_ewma_anomalies(spark, sf_dir):
     """Batch EWMA anomaly detection over events.value per event_type
     (ordered by ts, event_id): vectorized truncated-Horner folds — no
@@ -1222,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r6 ------------------------------------------------------
         "span_cores": q_span_cores,
+        "ivfpq_knn": q_ivfpq_knn,
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
@@ -1842,38 +1856,27 @@ def _kmeans_sql(k: int | None = None, iters: int | None = None, dim: int = 64) -
     )
 
 
-def _pq_sql(
-    k: int = 5,
-    m_subspaces: int | None = None,
-    n_codes: int | None = None,
-    iters: int | None = None,
-    dim: int = 64,
-) -> str:
-    """Unrolled-CTE twin of operators/similarity.pq_knn: per subspace
-    the same fixed Lloyd rounds as _kmeans_sql over the SLICED
-    subvectors; codes = the a{iters} assignment, ADC codebook =
-    c{iters-1}; distance = left-to-right sum of the m dot-composed
-    squared-L2 subspace terms — bit-identical to the Spark fold."""
-    from apm_opentelemetry_collector_spark.operators.similarity import (
-        PQ_CODES,
-        PQ_ITERS,
-        PQ_M,
-    )
-
-    m_subspaces = m_subspaces or PQ_M
-    n_codes = n_codes or PQ_CODES
-    iters = iters or PQ_ITERS
-    sub = dim // m_subspaces
-    ctes = [
-        "pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-    ]
+def _pq_train_ctes(
+    m_subspaces: int,
+    n_codes: int,
+    iters: int,
+    sub: int,
+    src: str = "pts",
+    vcol: str = "v",
+) -> list[str]:
+    """Per-subspace Lloyd-training CTEs shared by _pq_sql and
+    _ivfpq_sql: sub{m} slices `vcol` out of `src`, c0_{m} seeds from
+    the lowest ids, a{i}_{m}/m{i}_{m}/c{i}_{m} unroll the rounds with
+    the same decimal means and (d2 ASC, cluster ASC) tie rule as the
+    Spark _pq_train fold."""
+    ctes = []
     for m in range(m_subspaces):
         lo, hi = m * sub + 1, (m + 1) * sub
         d2 = (
             "(list_dot_product(p.v, p.v) + list_dot_product(c.c, c.c)"
             " - 2.0 * list_dot_product(p.v, c.c))"
         )
-        ctes.append(f"sub{m} AS (SELECT id, v[{lo}:{hi}] AS v FROM pts)")
+        ctes.append(f"sub{m} AS (SELECT id, {vcol}[{lo}:{hi}] AS v FROM {src})")
         ctes.append(
             f"""c0_{m} AS (
   SELECT row_number() OVER (ORDER BY id ASC) - 1 AS cluster, v AS c
@@ -1901,6 +1904,15 @@ def _pq_sql(
                 ctes.append(
                     f"c{i}_{m} AS (SELECT cluster, list(m ORDER BY pos) AS c FROM m{i}_{m} GROUP BY cluster)"
                 )
+    return ctes
+
+
+def _pq_enc_cte(
+    m_subspaces: int, iters: int, carry: str = "", extra_join: str = ""
+) -> str:
+    """The encoded-corpus CTE: final-round assignments joined across
+    subspaces; `carry`/`extra_join` optionally pull extra columns in
+    (e.g. the coarse cell for IVFADC postings via a join back to res)."""
     joins = " ".join(
         f"JOIN a{iters}_{m} e{m} USING (id)" for m in range(1, m_subspaces)
     )
@@ -1908,9 +1920,39 @@ def _pq_sql(
         (f"e{m}.cluster AS code{m}" if m else "e0.cluster AS code0")
         for m in range(m_subspaces)
     )
-    ctes.append(
-        f"enc AS (SELECT e0.id, {code_sel} FROM a{iters}_0 e0 {joins})"
+    return (
+        f"enc AS (SELECT e0.id, {carry}{code_sel} "
+        f"FROM a{iters}_0 e0 {joins} {extra_join})"
     )
+
+
+def _pq_sql(
+    k: int = 5,
+    m_subspaces: int | None = None,
+    n_codes: int | None = None,
+    iters: int | None = None,
+    dim: int = 64,
+) -> str:
+    """Unrolled-CTE twin of operators/similarity.pq_knn: per subspace
+    the same fixed Lloyd rounds as _kmeans_sql over the SLICED
+    subvectors; codes = the a{iters} assignment, ADC codebook =
+    c{iters-1}; distance = left-to-right sum of the m dot-composed
+    squared-L2 subspace terms — bit-identical to the Spark fold."""
+    from apm_opentelemetry_collector_spark.operators.similarity import (
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+    )
+
+    m_subspaces = m_subspaces or PQ_M
+    n_codes = n_codes or PQ_CODES
+    iters = iters or PQ_ITERS
+    sub = dim // m_subspaces
+    ctes = [
+        "pts AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ]
+    ctes += _pq_train_ctes(m_subspaces, n_codes, iters, sub)
+    ctes.append(_pq_enc_cte(m_subspaces, iters))
     ctes.append("q AS (SELECT id AS query_id, v AS qv FROM pts WHERE id < 5)")
     book_joins = " ".join(
         f"JOIN c{iters - 1}_{m} b{m} ON b{m}.cluster = e.code{m}"
@@ -1927,6 +1969,113 @@ def _pq_sql(
   SELECT q.query_id, e.id AS neighbor_id, {terms} AS adc_d2
   FROM enc e {book_joins} CROSS JOIN q
   WHERE q.query_id <> e.id
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2 FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+  FROM pairs
+) WHERE rank <= {k}"""
+    )
+
+
+def _ivfpq_sql(
+    k: int = 5,
+    n_probe: int | None = None,
+    m_subspaces: int | None = None,
+    n_codes: int | None = None,
+    iters: int | None = None,
+    dim: int = 64,
+) -> str:
+    """Unrolled-CTE twin of operators/similarity.ivfpq_knn (IVFADC):
+    decimal-exact coarse centroids per label cell, IEEE-double
+    residuals, the SAME _pq_train_ctes Lloyd unroll over the residuals,
+    squared-L2 probe of the n_probe nearest cells (ties to the lower
+    cell), per-(query, cell) query residual, and ADC as the
+    left-to-right sum of the m dot-composed squared-L2 subspace terms —
+    bit-identical to the Spark folds."""
+    from apm_opentelemetry_collector_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        PQ_CODES,
+        PQ_ITERS,
+        PQ_M,
+    )
+
+    n_probe = n_probe or IVFPQ_NPROBE
+    m_subspaces = m_subspaces or PQ_M
+    n_codes = n_codes or PQ_CODES
+    iters = iters or PQ_ITERS
+    sub = dim // m_subspaces
+    d2qc = (
+        "(list_dot_product(q.qv, q.qv) + list_dot_product(ce.centroid, ce.centroid)"
+        " - 2.0 * list_dot_product(q.qv, ce.centroid))"
+    )
+    ctes = [
+        "pts AS MATERIALIZED (SELECT vec_id AS id, label AS cell, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""ccomp AS (
+  SELECT cell, CAST(j AS INTEGER) AS pos, v[CAST(j AS INTEGER) + 1] AS x
+  FROM pts, range(0, {dim}) t(j)
+)""",
+        """cmeans AS MATERIALIZED (
+  SELECT cell, pos,
+         CAST(sum(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+  FROM ccomp GROUP BY cell, pos
+)""",
+        "ccents AS (SELECT cell, list(m ORDER BY pos) AS centroid FROM cmeans GROUP BY cell)",
+        """res AS MATERIALIZED (
+  SELECT p.id, p.cell, list(p.v[cm.pos + 1] - cm.m ORDER BY cm.pos) AS rv
+  FROM pts p JOIN cmeans cm ON cm.cell = p.cell
+  GROUP BY p.id, p.cell
+)""",
+    ]
+    ctes += _pq_train_ctes(m_subspaces, n_codes, iters, sub, src="res", vcol="rv")
+    ctes.append(
+        _pq_enc_cte(
+            m_subspaces,
+            iters,
+            carry="r.cell, ",
+            extra_join="JOIN res r ON r.id = e0.id",
+        )
+    )
+    ctes.append(
+        "q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5)"
+    )
+    ctes.append(
+        f"""probe AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT q.query_id, q.qv, ce.cell,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {d2qc} ASC, ce.cell ASC) AS crank
+    FROM q, ccents ce
+  ) WHERE crank <= {n_probe}
+)"""
+    )
+    ctes.append(
+        """qres AS (
+  SELECT p.query_id, p.cell, list(p.qv[cm.pos + 1] - cm.m ORDER BY cm.pos) AS qr
+  FROM probe p JOIN cmeans cm ON cm.cell = p.cell
+  GROUP BY p.query_id, p.cell
+)"""
+    )
+    book_joins = " ".join(
+        f"JOIN c{iters - 1}_{m} b{m} ON b{m}.cluster = e.code{m}"
+        for m in range(m_subspaces)
+    )
+    terms = " + ".join(
+        f"(list_dot_product(r.qr[{m * sub + 1}:{(m + 1) * sub}], r.qr[{m * sub + 1}:{(m + 1) * sub}])"
+        f" + list_dot_product(b{m}.c, b{m}.c)"
+        f" - 2.0 * list_dot_product(r.qr[{m * sub + 1}:{(m + 1) * sub}], b{m}.c))"
+        for m in range(m_subspaces)
+    )
+    ctes.append(
+        f"""pairs AS (
+  SELECT r.query_id, e.id AS neighbor_id, {terms} AS adc_d2
+  FROM qres r JOIN enc e ON e.cell = r.cell {book_joins}
+  WHERE r.query_id <> e.id
 )"""
     )
     return (
@@ -2436,6 +2585,7 @@ WHERE da.source <> db.source""",
         "span_cores": dd.span_cores_sql(),
         "ewma_anomalies": _ewma_sql(),
         "pq_knn": _pq_sql(),
+        "ivfpq_knn": _ivfpq_sql(),
         "bigram_lm_scores": textfn.bigram_lm_scores_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split

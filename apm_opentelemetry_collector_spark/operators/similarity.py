@@ -329,6 +329,165 @@ def hyperplane_lsh_knn(
 PQ_M = 4        # subspaces (dim must divide evenly)
 PQ_CODES = 4    # codebook size per subspace
 PQ_ITERS = 2    # Lloyd rounds per codebook (lowest-id seeding)
+IVFPQ_NPROBE = 2
+
+
+def _pq_acc0():
+    return F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cluster"))
+
+
+def _pq_sub_points(base: DataFrame, m_subspaces: int, sub: int, vec: str = "v") -> DataFrame:
+    """Explode (id, vec) into (id, m, sv) — every subspace of every
+    vector in ONE pass, so each Lloyd round scans the corpus once."""
+    return base.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice(F.col(vec), m * sub + 1, sub).alias("sv"),
+                    )
+                    for m in range(m_subspaces)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
+
+
+def _pq_train(sub_pts: DataFrame, n_codes: int, iters: int) -> DataFrame:
+    """Deterministic multi-subspace Lloyd: per subspace the SAME rules
+    as operators/clustering.kmeans_assign (lowest-id seeding,
+    decimal-exact means, strict-< tie-to-lower-cluster fold), all m
+    codebooks trained together — each round is one map-side fold over a
+    single broadcast codebook map plus one decimal mean aggregate keyed
+    by (m, cluster). Returns the (m, cluster, c) codebook table run to
+    a reliable checkpoint (persist → checkpoint → unpersist) so every
+    downstream branch reads m×n_codes literal rows instead of
+    re-executing training."""
+    from .clustering import CENTROID_DECIMAL, _dist2
+
+    seed_w = Window.partitionBy("m").orderBy(F.col("id").asc())
+    cents = (
+        sub_pts.withColumn("_rn", F.row_number().over(seed_w))
+        .filter(F.col("_rn") <= n_codes)
+        .select("m", (F.col("_rn") - 1).alias("cluster"), F.col("sv").alias("c"))
+    )
+
+    def _assign_all(cents_df):
+        books_map = cents_df.groupBy("m").agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("bk")
+        ).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("m").alias("key"), F.col("bk").alias("value")))
+            ).alias("_books")
+        )
+
+        def step(acc, x):
+            d2 = _dist2(F.col("sv"), x["c"])
+            return F.when(
+                d2 < acc["d2"],
+                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
+            ).otherwise(acc)
+
+        return sub_pts.crossJoin(F.broadcast(books_map)).select(
+            "id",
+            "m",
+            "sv",
+            F.aggregate(
+                F.element_at(F.col("_books"), F.col("m")), _pq_acc0(), step
+            )["cluster"].alias("cluster"),
+        )
+
+    def _means_all(assigned):
+        comp = assigned.select(
+            "m", "cluster", F.posexplode("sv").alias("pos", "x")
+        )
+        mm = comp.groupBy("m", "cluster", "pos").agg(
+            (
+                F.sum(F.col("x").cast(CENTROID_DECIMAL)).cast("double")
+                / F.count("*")
+            ).alias("mu")
+        )
+        return (
+            mm.groupBy("m", "cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
+            .select(
+                "m", "cluster", F.transform("pm", lambda s: s["mu"]).alias("c")
+            )
+        )
+
+    for _ in range(iters - 1):
+        cents = _means_all(_assign_all(cents))
+
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(sub_pts.sparkSession.sparkContext)
+    cents = cents.persist()
+    cents_ck = cents.checkpoint(eager=True)
+    cents.unpersist()
+    return cents_ck
+
+
+def _book_arrays(cents: DataFrame, m_subspaces: int) -> list[DataFrame]:
+    """One 1-row DataFrame per subspace: the codebook as a sorted
+    array-of-structs column _b{m}, for broadcast cross-join attach."""
+    return [
+        cents.filter(F.col("m") == m).agg(
+            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias(f"_b{m}")
+        )
+        for m in range(m_subspaces)
+    ]
+
+
+def _attach_books(df: DataFrame, books: list[DataFrame]) -> DataFrame:
+    for arr in books:
+        df = df.crossJoin(F.broadcast(arr))
+    return df
+
+
+def _code_exprs(m_subspaces: int, sub: int, vec: str = "v") -> list[Column]:
+    """Map-side encode: per subspace, fold over the attached _b{m}
+    codebook array keeping the strictly-smaller d2 (ties to the lower
+    cluster — the kmeans_assign discipline). No shuffle, no join."""
+    from .clustering import _dist2
+
+    def code_expr(m: int):
+        sv = F.slice(F.col(vec), m * sub + 1, sub)
+
+        def step(acc, x):
+            d2 = _dist2(sv, x["c"])
+            return F.when(
+                d2 < acc["d2"],
+                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
+            ).otherwise(acc)
+
+        return F.aggregate(F.col(f"_b{m}"), _pq_acc0(), step)["cluster"]
+
+    return [code_expr(m).alias(f"_code{m}") for m in range(m_subspaces)]
+
+
+def _adc_d2(m_subspaces: int, sub: int, qvec: str = "qv") -> Column:
+    """Asymmetric distance: Σ_m ||q_m − c_{m,code_m}||², left-to-right,
+    codewords looked up from the attached _b{m} arrays by _code{m}."""
+    from .clustering import _dist2
+
+    d2 = None
+    for m in range(m_subspaces):
+        lookup = F.element_at(
+            F.map_from_entries(
+                F.transform(
+                    F.col(f"_b{m}"),
+                    lambda s: F.struct(
+                        s["cluster"].alias("key"), s["c"].alias("value")
+                    ),
+                )
+            ),
+            F.col(f"_code{m}"),
+        )
+        term = _dist2(F.slice(F.col(qvec), m * sub + 1, sub), lookup)
+        d2 = term if d2 is None else d2 + term
+    return d2
 
 
 def pq_knn(
@@ -374,8 +533,6 @@ def pq_knn(
     Output: query_id, neighbor_id, rank, adc_d2 (ascending distance,
     ties to the lower neighbor id; self-pairs excluded).
     """
-    from .clustering import CENTROID_DECIMAL, _dist2
-
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
     sub = dim // m_subspaces
@@ -383,126 +540,19 @@ def pq_knn(
         F.col(id_col).alias("id"), as_double(vec_col).alias("v")
     )
 
-    # train ALL m codebooks in one pass per Lloyd round: the corpus
-    # explodes once into (id, m, sv) and each round is one map-side
-    # fold (all m codebooks in a single broadcast map) + one
-    # decimal-exact mean aggregate keyed by (m, cluster) — the corpus
-    # is scanned once per ROUND, not once per subspace per round.
-    # Semantics per subspace are identical to kmeans_assign (lowest-id
-    # seeding, strict-< tie-to-lower-cluster, decimal means), so the
-    # unrolled per-subspace oracle still bit-matches.
-    sub_pts = base.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).alias("m"),
-                        F.slice(F.col("v"), m * sub + 1, sub).alias("sv"),
-                    )
-                    for m in range(m_subspaces)
-                ]
-            )
-        ).alias("s"),
-    ).select("id", F.col("s.m").alias("m"), F.col("s.sv").alias("sv"))
-
-    seed_w = Window.partitionBy("m").orderBy(F.col("id").asc())
-    cents = (
-        sub_pts.withColumn("_rn", F.row_number().over(seed_w))
-        .filter(F.col("_rn") <= n_codes)
-        .select("m", (F.col("_rn") - 1).alias("cluster"), F.col("sv").alias("c"))
+    # train ALL m codebooks in one pass per Lloyd round (the corpus is
+    # scanned once per ROUND, not once per subspace per round), then
+    # encode with one map-side fold per subspace over the broadcast
+    # codebooks — shared _pq_train/_pq_encode machinery, also the
+    # residual quantizer inside ivfpq_knn.
+    cents = _pq_train(
+        _pq_sub_points(base, m_subspaces, sub), n_codes, iters
     )
-    acc0 = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cluster"))
-
-    def _assign_all(cents_df):
-        books_map = cents_df.groupBy("m").agg(
-            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias("bk")
-        ).agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col("m").alias("key"), F.col("bk").alias("value")))
-            ).alias("_books")
-        )
-
-        def step(acc, x):
-            d2 = _dist2(F.col("sv"), x["c"])
-            return F.when(
-                d2 < acc["d2"],
-                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
-            ).otherwise(acc)
-
-        return sub_pts.crossJoin(F.broadcast(books_map)).select(
-            "id",
-            "m",
-            "sv",
-            F.aggregate(
-                F.element_at(F.col("_books"), F.col("m")), acc0, step
-            )["cluster"].alias("cluster"),
-        )
-
-    def _means_all(assigned):
-        comp = assigned.select(
-            "m", "cluster", F.posexplode("sv").alias("pos", "x")
-        )
-        mm = comp.groupBy("m", "cluster", "pos").agg(
-            (
-                F.sum(F.col("x").cast(CENTROID_DECIMAL)).cast("double")
-                / F.count("*")
-            ).alias("mu")
-        )
-        return (
-            mm.groupBy("m", "cluster")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "mu"))).alias("pm"))
-            .select(
-                "m", "cluster", F.transform("pm", lambda s: s["mu"]).alias("c")
-            )
-        )
-
-    for _ in range(iters - 1):
-        cents = _means_all(_assign_all(cents))
-
-    # the trained codebooks are m_subspaces × n_codes tiny rows at the
-    # end of the lazy Lloyd chain — run that chain ONCE to a reliable
-    # checkpoint (persist → checkpoint → unpersist, the repo
-    # discipline); every downstream branch (one per subspace, the
-    # self-pair filter, the top-k) then reads 16 literal rows instead
-    # of re-executing training.
-    from ..session import ensure_checkpoint_dir
-
-    ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
-    cents = cents.persist()
-    cents_ck = cents.checkpoint(eager=True)
-    cents.unpersist()
-    cents = cents_ck
-
-    # encode: one map-side fold per subspace over broadcast codebooks
-    enc = base
-    for m in range(m_subspaces):
-        arr = (
-            cents.filter(F.col("m") == m)
-            .agg(
-                F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias(
-                    f"_b{m}"
-                )
-            )
-        )
-        enc = enc.crossJoin(F.broadcast(arr))
-
-    def code_expr(m: int):
-        sv = F.slice(F.col("v"), m * sub + 1, sub)
-
-        def step(acc, x):
-            d2 = _dist2(sv, x["c"])
-            return F.when(
-                d2 < acc["d2"],
-                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
-            ).otherwise(acc)
-
-        return F.aggregate(F.col(f"_b{m}"), acc0, step)["cluster"]
-
-    enc = enc.select(
+    books = _book_arrays(cents, m_subspaces)
+    enc = _attach_books(base, books).select(
         "id",
         *[F.col(f"_b{m}") for m in range(m_subspaces)],
-        *[code_expr(m).alias(f"_code{m}") for m in range(m_subspaces)],
+        *_code_exprs(m_subspaces, sub),
     )
 
     # ADC: broadcast queries; distance = Σ_m ||q_m − c_{m,code_m}||²
@@ -512,27 +562,145 @@ def pq_knn(
     pairs = enc.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("id")
     )
-    d2 = None
-    for m in range(m_subspaces):
-        lookup = F.element_at(
-            F.map_from_entries(
-                F.transform(
-                    F.col(f"_b{m}"),
-                    lambda s: F.struct(
-                        s["cluster"].alias("key"), s["c"].alias("value")
-                    ),
-                )
-            ),
-            F.col(f"_code{m}"),
-        )
-        term = _dist2(F.slice(F.col("qv"), m * sub + 1, sub), lookup)
-        d2 = term if d2 is None else d2 + term
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
     )
     return (
         pairs.select(
-            "query_id", F.col("id").alias("neighbor_id"), d2.alias("adc_d2")
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _adc_d2(m_subspaces, sub).alias("adc_d2"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc_d2")
+    )
+
+
+def ivfpq_knn(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = IVFPQ_NPROBE,
+    m_subspaces: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = 64,
+    cluster_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFADC — coarse inverted file + product-quantized residuals with
+    asymmetric distance (Jégou, Douze, Schmid, TPAMI 2011 §V): the
+    production-scale composition of ivf_knn's cell pruning and pq_knn's
+    compression. Each corpus vector v in coarse cell ℓ stores only its
+    cell id and the m PQ codes of its RESIDUAL r = v − centroid(ℓ); a
+    query probes the n_probe nearest coarse centroids (squared L2) and
+    scores only those cells' postings via ADC on the query's own
+    per-cell residual q − centroid(ℓ).
+
+    Spark shape, stage by stage:
+      * coarse centroids: decimal-exact elementwise means per cell
+        (the shared `centroids` aggregate), run once to a reliable
+        checkpoint — reused by the residual map, the probe, and the
+        query-residual map;
+      * residuals: broadcast-join the tiny centroid table, zip_with
+        subtraction — map-side, no shuffle;
+      * residual codebooks: the shared one-pass deterministic Lloyd
+        (_pq_train — identical rules to pq_knn / kmeans_assign);
+      * encode: map-side fold per subspace (_code_exprs); the postings
+        table that crosses the wire is (id, cell, m small ints) — the
+        codebook arrays are NOT carried by corpus rows (unlike the
+        broadcast-only pq_knn plan, this join shuffles by cell, so the
+        per-row payload IS the compressed representation — the point
+        of IVFADC at 100 TB);
+      * probe: queries × broadcast coarse centroids, top n_probe by
+        squared L2 (ties to the lower cell), then the per-(query,cell)
+        residual — the probed side is tiny (|Q|·n_probe rows), so the
+        codebook arrays attach HERE;
+      * ADC + top-k: equi-join on cell with the probed side BROADCAST
+        (|Q|·n_probe rows — query batches are orders of magnitude
+        smaller than the corpus; without the hint Catalyst falls back
+        to a SortMergeJoin that sorts the whole postings table; for a
+        query set too big to broadcast, pre-partition both sides by
+        cell instead), Σ_m ||q'_m − c_{m,code_m}||² via broadcast-map
+        lookup, one WindowGroupLimit exchange.
+
+    Every arithmetic step (decimal centroid means, IEEE double residual
+    subtraction, dot-composed squared L2, left-to-right subspace sum)
+    bit-matches the unrolled-CTE DuckDB twin (__spark_entry__.
+    _ivfpq_sql). Output: query_id, neighbor_id, rank, adc_d2
+    (ascending, ties to the lower neighbor id; self-pairs excluded).
+    Reference analog: the omnishard exporter's shard-pruned fan-out
+    (exporter/omnishard/shard.go) is the same prune-then-scan shape
+    over hash shards instead of IVF cells.
+    """
+    from .clustering import _dist2
+
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
+    sub = dim // m_subspaces
+
+    # coarse centroids, checkpointed once for the three consumers
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
+    coarse = centroids(embeddings, cluster_col, vec_col).select(
+        F.col("cluster").alias("cell"), "centroid"
+    ).persist()
+    coarse_ck = coarse.checkpoint(eager=True)
+    coarse.unpersist()
+    coarse = coarse_ck
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(cluster_col).alias("cell"),
+        as_double(vec_col).alias("v"),
+    )
+    res = base.join(F.broadcast(coarse), "cell").select(
+        "id",
+        "cell",
+        F.zip_with("v", "centroid", lambda a, b: a - b).alias("rv"),
+    )
+
+    cents = _pq_train(
+        _pq_sub_points(res, m_subspaces, sub, vec="rv"), n_codes, iters
+    )
+    books = _book_arrays(cents, m_subspaces)
+    # postings: (id, cell, codes) only — drop rv and the book arrays
+    enc = _attach_books(res, books).select(
+        "id", "cell", *_code_exprs(m_subspaces, sub, vec="rv")
+    )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("cd2").asc(), F.col("cell").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(coarse))
+        .withColumn("cd2", _dist2(F.col("qv"), F.col("centroid")))
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= n_probe)
+        .select(
+            "query_id",
+            "cell",
+            F.zip_with("qv", "centroid", lambda a, b: a - b).alias("qr"),
+        )
+    )
+    probed = _attach_books(probed, books)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        enc.join(F.broadcast(probed), "cell")
+        .filter(F.col("query_id") != F.col("id"))
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            _adc_d2(m_subspaces, sub, qvec="qr").alias("adc_d2"),
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -208,3 +208,115 @@ def test_pq_knn_matches_numpy_reference(spark):
         assert g["neighbor_id"].tolist() == [j for _, j in want[q]]
         d_want = np.array([d for d, _ in want[q]])
         assert np.abs(g["adc_d2"].to_numpy() - d_want).max() <= 1e-9
+
+
+def test_ivfpq_knn_matches_numpy_reference(spark):
+    """Independent from-the-definition numpy IVFADC (coarse plain-mean
+    centroids per label cell, residuals, the same deterministic PQ
+    training on residuals, L2 probe of n_probe cells with tie-to-lower
+    cell, ADC on the per-cell query residual, tie-by-id top-k) must
+    agree with the Spark pipeline — neighbor sets identical, distances
+    within float tolerance (numpy means vs decimal-exact means)."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.similarity import ivfpq_knn
+
+    rng = np.random.default_rng(37)
+    n, dim, m, codes, iters, k, n_probe, n_cells = 60, 16, 4, 3, 2, 3, 2, 3
+    X = rng.standard_normal((n, dim))
+    labels = np.array([i % n_cells for i in range(n)])
+    sub = dim // m
+
+    cents = np.stack([X[labels == c].mean(0) for c in range(n_cells)])
+    R = X - cents[labels]
+
+    def train(sub_X):
+        cb = sub_X[:codes].copy()              # lowest-id seeding
+        for _ in range(iters - 1):
+            d2 = ((sub_X[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            cb = np.stack(
+                [
+                    sub_X[assign == c].mean(0) if (assign == c).any() else cb[c]
+                    for c in range(codes)
+                ]
+            )
+            keep = [c for c in range(codes) if (assign == c).any()]
+            cb = cb[keep] if len(keep) < codes else cb
+        return cb
+
+    books, codes_per_m = [], []
+    for mi in range(m):
+        sx = R[:, mi * sub : (mi + 1) * sub]
+        cb = train(sx)
+        books.append(cb)
+        d2 = ((sx[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        codes_per_m.append(d2.argmin(1))
+
+    want = {}
+    for q in range(3):
+        cd2 = ((X[q] - cents) ** 2).sum(-1)
+        probed = np.argsort(cd2, kind="stable")[:n_probe]   # ties to lower cell
+        dists = []
+        for j in range(n):
+            if j == q or labels[j] not in probed:
+                continue
+            qr = X[q] - cents[labels[j]]
+            d = sum(
+                ((qr[mi * sub : (mi + 1) * sub] - books[mi][codes_per_m[mi][j]]) ** 2).sum()
+                for mi in range(m)
+            )
+            dists.append((d, j))
+        dists.sort()
+        want[q] = dists[:k]
+
+    df = spark.createDataFrame(
+        [(i, int(labels[i]), [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, label int, embedding array<double>",
+    )
+    got = ivfpq_knn(
+        df,
+        df.filter("vec_id < 3"),
+        k=k,
+        n_probe=n_probe,
+        m_subspaces=m,
+        n_codes=codes,
+        iters=iters,
+        dim=dim,
+    ).toPandas()
+    assert len(got) == 9
+    for q in range(3):
+        g = got[got["query_id"] == q].sort_values("rank")
+        assert g["neighbor_id"].tolist() == [j for _, j in want[q]]
+        d_want = np.array([d for d, _ in want[q]])
+        assert np.abs(g["adc_d2"].to_numpy() - d_want).max() <= 1e-9
+
+
+def test_ivfpq_knn_quality_on_planted_clusters(spark):
+    """On well-separated clusters with label = true cluster, the probe
+    prunes to the right cells and ADC keeps every top-k neighbor inside
+    the query's own cluster; distances ascend with rank."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.similarity import ivfpq_knn
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(19)
+    rows = []
+    for cl in range(3):
+        center = np.zeros(64)
+        center[cl * 20 : cl * 20 + 20] = 5.0
+        for j in range(40):
+            v = center + 0.1 * rng.standard_normal(64)
+            rows.append((cl * 40 + j, cl, [float(x) for x in v]))
+    clustered = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    )
+    qs = clustered.filter(F.col("vec_id").isin([0, 40, 80]))
+    got = ivfpq_knn(clustered, qs, k=5, n_probe=1).toPandas()
+    assert len(got) == 15
+    for qid, g in got.groupby("query_id"):
+        want_cluster = qid // 40
+        assert (g["neighbor_id"] // 40 == want_cluster).all(), (qid, g)
+        d = g.sort_values("rank")["adc_d2"].to_numpy()
+        assert (np.diff(d) >= 0).all()

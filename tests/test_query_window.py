@@ -25,9 +25,13 @@ EARLIER_ROUNDS = [
 MUST_BE_IN_WINDOW = {
     # new or implementation-touched in r6: span_cores is the
     # containment-support query; repeated_spans gained the (default-off)
-    # counting-bucket prefilter and re-verifies under the same hash
+    # counting-bucket prefilter and re-verifies under the same hash;
+    # ivfpq_knn is the new IVFADC operator and pq_knn's training/encode
+    # internals were refactored into the helpers it shares with it
     "span_cores",
     "repeated_spans",
+    "ivfpq_knn",
+    "pq_knn",
 }
 
 
