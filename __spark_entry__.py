@@ -1025,6 +1025,16 @@ def q_pq_knn(spark, sf_dir):
     return out.withColumn("adc_d2", F.round("adc_d2", 6))
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup semantic deduplication: k-means clusters bound the
+    pairwise cosine comparison, then each doc keeps iff no smaller-id
+    τ-neighbor exists in its cluster — deterministic
+    keep-one-per-similarity-group with no iteration."""
+    from apm_opentelemetry_collector_spark.operators.dedup import semdedup
+
+    return semdedup(_load(spark, sf_dir, "embeddings"))
+
+
 def q_ivfpq_knn(spark, sf_dir):
     """IVFADC ANN: coarse cell pruning (n_probe nearest centroids by
     squared L2) + product-quantized RESIDUALS scored by asymmetric
@@ -1236,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r6 ------------------------------------------------------
         "span_cores": q_span_cores,
         "ivfpq_knn": q_ivfpq_knn,
+        "semdedup": q_semdedup,
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
@@ -2090,6 +2101,35 @@ SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2 FROM (
     )
 
 
+def _semdedup_sql(threshold: float | None = None) -> str:
+    """Exact twin of operators/dedup.semdedup: the unrolled _kmeans_sql
+    assignment, within-cluster cosine pairs at the double-cast
+    threshold, and the no-smaller-id-τ-neighbor keep rule."""
+    from apm_opentelemetry_collector_spark.operators.dedup import SEMDEDUP_TAU
+
+    threshold = SEMDEDUP_TAU if threshold is None else threshold
+    cos = _COS_SQL.format(a="x.v", b="y.v")
+    return f"""
+WITH asg AS MATERIALIZED (SELECT vec_id, cluster FROM ({_kmeans_sql()})),
+base AS MATERIALIZED (
+  SELECT e.vec_id AS id, a.cluster, CAST(e.embedding AS DOUBLE[]) AS v
+  FROM embeddings e JOIN asg a USING (vec_id)
+), nbr AS (
+  SELECT id_a, id_b FROM (
+    SELECT x.id AS id_a, y.id AS id_b, {cos} AS cos
+    FROM base x JOIN base y ON y.cluster = x.cluster AND y.id <> x.id
+  ) WHERE cos >= CAST({threshold} AS DOUBLE)
+), agg AS (
+  SELECT id_a, CAST(count(*) AS BIGINT) AS n_similar,
+         bool_or(id_b < id_a) AS has_smaller
+  FROM nbr GROUP BY id_a
+)
+SELECT b.id AS vec_id, b.cluster,
+       COALESCE(g.n_similar, 0) AS n_similar,
+       COALESCE(NOT g.has_smaller, TRUE) AS keep
+FROM base b LEFT JOIN agg g ON g.id_a = b.id"""
+
+
 def _frame_sample_sql() -> str:
     """Oracle twin of sample_frames∘synth_video: frame f of doc d has
     bytes md5('d:f')×2, so its checksum is (2·Σ md5-bytes) mod 65536 —
@@ -2586,6 +2626,7 @@ WHERE da.source <> db.source""",
         "ewma_anomalies": _ewma_sql(),
         "pq_knn": _pq_sql(),
         "ivfpq_knn": _ivfpq_sql(),
+        "semdedup": _semdedup_sql(),
         "bigram_lm_scores": textfn.bigram_lm_scores_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split

@@ -1232,3 +1232,81 @@ def embedding_neardup(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
     )
+
+
+SEMDEDUP_TAU = 0.3   # cosine threshold for "semantic duplicate"
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = SEMDEDUP_TAU,
+    k: int | None = None,
+    iters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic deduplication à la SemDeDup (Abbas, Tirumala, Simig,
+    Ganguli, Morcos, arXiv:2303.09540): k-means-cluster the embedding
+    space, then compare pairs ONLY within a cluster and keep, from each
+    set of mutually-similar documents, a single deterministic
+    representative.
+
+    Keep rule (deterministic, order-free): a document is DROPPED iff
+    some LOWER-id document in its cluster has cosine ≥ threshold with
+    it. This is the paper's keep-one-per-group rule made order-free and
+    iteration-free: the survivor set is exactly the docs with no
+    smaller-id τ-neighbor, one aggregate. A similarity CHAIN a…b…c
+    (only adjacent pairs cross τ) collapses to its lowest id — b drops
+    because of a, c because of b (a dropped doc still suppresses its
+    own larger-id neighbors) — the same single survivor
+    transitive-closure grouping keeps, without the iteration (tested).
+
+    Scale shape: the clustering bounds the self-join — pair volume is
+    Σ_c |c|² instead of n²; k grows with the corpus so clusters stay
+    bounded (the paper runs k ≈ n/10⁴). The cluster assignment is run
+    once to a reliable checkpoint (the self-join's two branches would
+    otherwise re-execute the Lloyd rounds); no forced broadcasts — both
+    join sides are corpus-cardinality (the dedup.py rule).
+
+    Output: vec_id, cluster, n_similar (τ-neighbors within the
+    cluster), keep (no smaller-id τ-neighbor). Exact DuckDB twin:
+    __spark_entry__._semdedup_sql (composes the unrolled _kmeans_sql).
+    """
+    from ..functions.vectors import as_double, cosine
+    from ..session import ensure_checkpoint_dir
+    from .clustering import KMEANS_ITERS, KMEANS_K, kmeans_assign
+
+    k = k or KMEANS_K
+    iters = iters or KMEANS_ITERS
+    asg = kmeans_assign(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    ).select(F.col(id_col).alias("id"), "cluster")
+    ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
+    asg = asg.persist()
+    asg_ck = asg.checkpoint(eager=True)
+    asg.unpersist()
+
+    base = embeddings.select(
+        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    ).join(asg_ck, "id")
+    x = base.select(F.col("id").alias("id_a"), "cluster", F.col("v").alias("va"))
+    y = base.select(F.col("id").alias("id_b"), "cluster", F.col("v").alias("vb"))
+    nbr = (
+        x.join(y, "cluster")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= F.lit(float(threshold)))
+    )
+    agg = nbr.groupBy("id_a").agg(
+        F.count("*").alias("n_similar"),
+        F.max(F.col("id_b") < F.col("id_a")).alias("has_smaller"),
+    )
+    return (
+        base.join(agg, base["id"] == agg["id_a"], "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce("n_similar", F.lit(0).cast("long")).alias("n_similar"),
+            F.coalesce(~F.col("has_smaller"), F.lit(True)).alias("keep"),
+        )
+    )

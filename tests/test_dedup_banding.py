@@ -149,3 +149,62 @@ def test_distinct_scope_equality(spark):
 def test_distinct_scope_validates():
     with pytest.raises(ValueError, match="distinct_scope"):
         MinHashConfig(distinct_scope="nope")
+
+
+def test_semdedup_keeps_one_per_planted_group(spark):
+    """Three planted groups of near-identical vectors (plus spread-out
+    singletons): exactly the lowest-id member of each group survives,
+    every singleton survives, and n_similar counts the group peers."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.dedup import semdedup
+
+    rng = np.random.default_rng(7)
+    rows = []
+    # groups of 3 near-identical vectors at separated centers
+    for g in range(3):
+        center = np.zeros(64)
+        center[g * 20 : g * 20 + 20] = 5.0
+        for j in range(3):
+            v = center + 0.01 * rng.standard_normal(64)
+            rows.append((g * 3 + j, [float(x) for x in v]))
+    # singletons: pairwise-orthogonal-ish one-hot tails
+    for s in range(4):
+        v = np.zeros(64)
+        v[60 - s] = 3.0
+        rows.append((100 + s, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, threshold=0.9, k=3, iters=2).toPandas()
+    assert len(out) == 13
+    kept = set(out[out["keep"]]["vec_id"])
+    # lowest id of each planted group + all singletons
+    assert {0, 3, 6, 100, 101, 102, 103} <= kept
+    assert not ({1, 2, 4, 5, 7, 8} & kept)
+    grp = out[out["vec_id"] < 9]
+    assert (grp["n_similar"] == 2).all()        # each sees its 2 peers
+    assert (out[out["vec_id"] >= 100]["n_similar"] == 0).all()
+
+
+def test_semdedup_chain_collapses_to_lowest_id(spark):
+    """Chain semantics: with a…b similar and b…c similar but a…c NOT
+    similar, b drops (smaller-id neighbor a) and c also drops (its
+    smaller-id neighbor is b, dropped or not) — a similarity chain
+    collapses to its lowest id, and n_similar counts only each doc's
+    OWN τ-neighbors (b sees 2, a and c see 1)."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.dedup import semdedup
+
+    # unit vectors at 0°, 30°, 60° in a 2-D plane of 64-dim space:
+    # cos(30°)≈0.866 crosses τ=0.8, cos(60°)=0.5 does not
+    def vec(theta):
+        v = np.zeros(64)
+        v[0], v[1] = np.cos(theta), np.sin(theta)
+        return [float(x) for x in v]
+
+    rows = [(0, vec(0.0)), (1, vec(np.pi / 6)), (2, vec(np.pi / 3))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, threshold=0.8, k=1, iters=1).toPandas().set_index("vec_id")
+    assert bool(out.loc[0, "keep"])
+    assert not bool(out.loc[1, "keep"]) and not bool(out.loc[2, "keep"])
+    assert out["n_similar"].tolist() == [1, 2, 1]

@@ -31,6 +31,7 @@ MUST_BE_IN_WINDOW = {
     "span_cores",
     "repeated_spans",
     "ivfpq_knn",
+    "semdedup",
     "pq_knn",
 }
 
