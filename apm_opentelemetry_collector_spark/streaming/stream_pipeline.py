@@ -869,6 +869,135 @@ def repeated_passages_stateful(
     )
 
 
+def minhash_candidates_stateful(
+    stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cfg=None,
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming MinHash+LSH near-dup CANDIDATE detection — the
+    incremental form of operators/dedup.candidate_pairs: as documents
+    stream in, each is hashed into its LSH band buckets and paired
+    against every document already resident in those buckets, so
+    near-duplicates of anything seen within the state horizon are
+    flagged on ARRIVAL instead of by re-banding the corpus.
+
+    The whole signature pipeline runs as map-side higher-order Column
+    expressions BEFORE the stateful op — no aggregation, which matters
+    because Structured Streaming allows only one stateful operator per
+    query: a minhash component is min over the doc's shingle MULTISET
+    (= min over its set, so the batch path's distinct() is
+    unnecessary), i.e. F.array_min over a transform of the in-row
+    shingle array, with the SAME md5('<j>:' || shingle) component
+    hashes and band-key md5 as the batch operator — stream and batch
+    bucket keys are byte-identical by construction.
+
+    Keyed state per (band_idx, band_key) bucket is the resident member
+    id list. A new doc emits one (id_a, id_b) = (min, max) row per
+    resident member of each of its buckets (same-batch arrivals pair in
+    ascending-id order); re-delivery of a resident id is a no-op
+    (at-least-once tolerant). A pair sharing several bands is emitted
+    once per band — readers take DISTINCT, the same normalization
+    candidate_pairs applies. Equality with the batch operator over any
+    micro-batch slicing is asserted in tests. Downstream exact-Jaccard
+    verification is a batch join against the emitted pairs (a second
+    stateful stage can't live in the same query).
+
+    Bucket state is bounded by bucket occupancy — near-dup GROUP size,
+    the same hot-bucket hazard the batch LSH join has (a degenerate
+    normalizer → one giant bucket → quadratic pairs); state_ttl_s
+    bounds the horizon (shared _resolve_ttl machinery, processing
+    clock): a bucket not touched within the TTL is dropped, so the
+    state store tracks recently-active buckets instead of every band
+    key ever seen. Eviction forgets residents — a later duplicate of an
+    evicted doc is NOT flagged; choose TTL ≥ the dedup horizon.
+    """
+    from ..functions.text import normalized
+    from ..operators.dedup import CI_BANDING, SHINGLE_LEN
+
+    cfg = cfg or CI_BANDING
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
+
+    id_type = stream.schema[id_col].dataType
+    out_schema = T.StructType(
+        [T.StructField("id_a", id_type), T.StructField("id_b", id_type)]
+    )
+    state_schema = T.StructType(
+        [T.StructField("members", T.ArrayType(id_type))]
+    )
+
+    norm = normalized(text_col)
+    base = stream.select(
+        F.col(id_col).alias("id"), norm.alias("norm")
+    ).filter(F.length("norm") >= SHINGLE_LEN)
+    sh_arr = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - (SHINGLE_LEN - 1)),
+        lambda i: F.substring(F.col("norm"), i, SHINGLE_LEN),
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: F.md5(F.concat(F.lit(f"{j}:"), s).cast("binary")),
+            )
+        ).alias(f"m{j}")
+        for j in range(cfg.n_hashes)
+    ]
+    sigs = base.select("id", sh_arr.alias("_sh")).select("id", *sig_cols)
+    r = cfg.rows_per_band
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat(*[F.col(f"m{b * r + i}") for i in range(r)]).cast(
+                    "binary"
+                )
+            ).alias("band_key"),
+        )
+        for b in range(cfg.n_bands)
+    ]
+    banded = sigs.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select(
+        "id",
+        F.col("band.band_idx").alias("band_idx"),
+        F.col("band.band_key").alias("band_key"),
+    )
+
+    def pair(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if _evict_if_timed_out(state, ttl_ms):
+            return
+        (members,) = state.get if state.exists else ([],)
+        members = list(members or [])
+        resident = set(members)
+        fresh: list = []
+        for pdf in pdfs:
+            for i in pdf["id"]:
+                i = i.item() if hasattr(i, "item") else i
+                if i not in resident:
+                    resident.add(i)
+                    fresh.append(i)
+        fresh.sort()
+        ida, idb = [], []
+        for n_idx, n in enumerate(fresh):
+            for m in members + fresh[:n_idx]:
+                ida.append(min(m, n))
+                idb.append(max(m, n))
+        state.update((members + fresh,))
+        _arm_ttl(state, ttl_ms, event_ttl)
+        if ida:
+            yield pd.DataFrame({"id_a": ida, "id_b": idb})
+
+    return banded.groupBy("band_idx", "band_key").applyInPandasWithState(
+        pair,
+        out_schema,
+        state_schema,
+        "append",
+        timeout,
+    )
+
+
 def write_sinks_stream(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ):

@@ -1593,3 +1593,122 @@ def test_repeated_passages_stream_ttl_bounds_fingerprints(spark, tmp_path):
     # counts restarted: no emission ever reported n_docs = 5 (which the
     # surviving cumulative state would have produced)
     assert rows_after == 4
+
+
+def test_minhash_candidates_stream_equals_batch_on_any_slicing(spark, tmp_path):
+    """The expression-based streaming signature/banding math must be
+    byte-identical to the batch pipeline: DISTINCT emitted pairs over
+    any micro-batch slicing == candidate_pairs(lsh_bands(
+    minhash_signatures(shingles))) — including near-dup docs arriving
+    in DIFFERENT micro-batches and same-batch arrivals."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        candidate_pairs,
+        lsh_bands,
+        minhash_signatures,
+        shingles,
+    )
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        minhash_candidates_stateful,
+    )
+
+    blk = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill nearby"
+    )
+    rows = [
+        (0, blk),
+        (1, blk + " extra tail words here"),
+        (2, "completely different content about distributed query engines"),
+        (3, blk),                                   # same-batch dup of 0? sliced below
+        (4, "another unrelated string of words with no overlap at all"),
+        (5, blk + " extra tail words here too"),
+    ]
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "mh_in")
+    # doc 0 and its dups 3/5 land in different micro-batches; 1 shares
+    # a batch with 0
+    for lo, hi in ((0, 2), (2, 4), (4, 6)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        minhash_candidates_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("mh_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT DISTINCT id_a, id_b FROM mh_out").toPandas()
+    finally:
+        q.stop()
+
+    batch = candidate_pairs(
+        lsh_bands(minhash_signatures(shingles(
+            spark.createDataFrame(rows, schema), distinct=False
+        )))
+    ).toPandas()
+    a = sorted(map(tuple, got.itertuples(index=False)))
+    b = sorted(map(tuple, batch.itertuples(index=False)))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_candidates_ttl_bounds_bucket_horizon(spark, tmp_path):
+    """state_ttl_s drops idle buckets: after wave-1 state drains, a
+    wave-2 duplicate of wave-1 text pairs only with its OWN wave's
+    duplicate, not with the evicted wave-1 residents."""
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        minhash_candidates_stateful,
+    )
+
+    blk = (
+        "limited time offer click here to claim your exclusive reward "
+        "before the deadline passes tonight"
+    )
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "mh_ttl_in")
+    w1 = [(0, blk), (1, blk)]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode("append").parquet(path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        minhash_candidates_stateful(stream, state_ttl_s=1.0)
+        .writeStream.format("memory")
+        .queryName("mh_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        ok = _wait_for(
+            lambda: spark.sql(
+                "SELECT count(*) FROM (SELECT DISTINCT id_a, id_b FROM mh_ttl_out)"
+            ).first()[0] == 1
+        )
+        assert ok, "wave-1 pair never emitted"
+        empty_bid = _wait_state_empty(q)
+        assert empty_bid, "bucket state never evicted"
+        w2 = [(10, blk), (11, blk)]
+        spark.createDataFrame(w2, schema).coalesce(1).write.mode("append").parquet(path)
+        ok = _wait_for(
+            lambda: spark.sql(
+                "SELECT count(*) FROM mh_ttl_out WHERE id_a = 10 AND id_b = 11"
+            ).first()[0] > 0
+        )
+        assert ok, "wave-2 pair never emitted"
+        pairs = spark.sql("SELECT DISTINCT id_a, id_b FROM mh_ttl_out").toPandas()
+    finally:
+        q.stop()
+    got = sorted(map(tuple, pairs.itertuples(index=False)))
+    # no cross-wave pair (0,10), (0,11), (1,10), (1,11): residents forgotten
+    assert got == [(0, 1), (10, 11)]
