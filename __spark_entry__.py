@@ -1085,6 +1085,37 @@ def q_span_cores(spark, sf_dir):
     return dd.span_cores(_load(spark, sf_dir, "documents"))
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (r6): documents concatenated
+    in doc_id order, cut into fixed 256-token context windows, split
+    across boundaries allowed — per-doc global token offset + chunk
+    span + boundary-crossing flag. The global prefix sum runs as the
+    two-pass ranged design (keys-only range shuffle, bounded totals
+    table, broadcast offsets), never a single-partition window."""
+    from apm_opentelemetry_collector_spark.operators.pack import pack_sequences
+
+    return pack_sequences(_load(spark, sf_dir, "documents"))
+
+
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end fuzzy dedup (r6): MinHash+LSH verified pairs →
+    min-label components → keep-longest canonical per group (ties to
+    the smaller id); singletons survive — `keep` is the corpus-wide
+    curation filter."""
+    return dd.dedup_canonical(_load(spark, sf_dir, "documents"))
+
+
+def q_mixture_weights(spark, sf_dir):
+    """Data-mixing rate solver (r6): per-source sampling rates that
+    realize relative target TOKEN shares without upsampling — the
+    binding source keeps everything, the rest downsample
+    proportionally. One map-side-combinable groupBy(source); every
+    window runs over the strata-bounded table."""
+    from apm_opentelemetry_collector_spark.operators.sample import mixture_weights
+
+    return mixture_weights(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1245,6 +1276,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- new in r6 ------------------------------------------------------
         "span_cores": q_span_cores,
+        "pack_sequences": q_pack_sequences,
+        "mixture_weights": q_mixture_weights,
+        "dedup_canonical": q_dedup_canonical,
         "ivfpq_knn": q_ivfpq_knn,
         "semdedup": q_semdedup,
         # --- new in r5 ------------------------------------------------------
@@ -2101,6 +2135,94 @@ SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2 FROM (
     )
 
 
+def _pack_sequences_sql(seq_len: int | None = None) -> str:
+    """Exact twin of operators/pack.pack_sequences: one SUM() OVER
+    (ORDER BY doc_id) exclusive-prefix window — the single-partition
+    form the ranged two-pass design replaces at scale. Integer //
+    division on both engines (Spark F.floor(a/b) on nonneg bigints ≡
+    DuckDB //); token counts via the shared TOKEN_COUNT_SQL."""
+    from apm_opentelemetry_collector_spark.operators.pack import SEQ_LEN
+
+    L = seq_len or SEQ_LEN
+    toks = textfn.TOKEN_COUNT_SQL.format(col="text")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CAST({toks} AS BIGINT) AS n_tokens FROM documents
+), pre AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_tok,
+  CAST(start_tok // {L} AS BIGINT) AS start_chunk,
+  CAST(CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // {L}
+            ELSE start_tok // {L} END AS BIGINT) AS end_chunk,
+  CAST(CASE WHEN n_tokens > 0
+            THEN (start_tok + n_tokens - 1) // {L} - start_tok // {L} + 1
+            ELSE 0 END AS BIGINT) AS n_chunks,
+  (CASE WHEN n_tokens > 0
+        THEN (start_tok + n_tokens - 1) // {L} > start_tok // {L}
+        ELSE FALSE END) AS crosses_boundary
+FROM pre"""
+
+
+def _canonical_sql() -> str:
+    """Exact twin of operators/dedup.dedup_canonical: components via the
+    same unrolled min-label CTEs (nested as a subquery), winner per
+    component via the identical ROW_NUMBER (n_chars DESC, id ASC)."""
+    return f"""
+WITH comp AS MATERIALIZED (
+  SELECT * FROM ({_components_sql()})
+), base AS (
+  SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+), j AS (
+  SELECT b.id, COALESCE(c.component, b.id) AS component, b.n_chars
+  FROM base b LEFT JOIN comp c ON c.id = b.id
+)
+SELECT id AS doc_id, component, n_chars,
+       (row_number() OVER (PARTITION BY component
+                           ORDER BY n_chars DESC, id ASC) = 1) AS keep
+FROM j"""
+
+
+def _mixture_weights_sql(weights: dict[str, float] | None = None) -> str:
+    """Exact twin of operators/sample.mixture_weights: integer token
+    sums (exact), DECIMAL(18,6) weight accumulation (order-free), the
+    same double divisions in the same operand order. SUM() windows cast
+    back to BIGINT/DOUBLE (DuckDB widens to HUGEINT/DECIMAL(38,6))."""
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        DEFAULT_TARGET_WEIGHTS,
+        mixture_weight_case_sql,
+    )
+
+    wcase = mixture_weight_case_sql(weights or DEFAULT_TARGET_WEIGHTS)
+    toks = textfn.TOKEN_COUNT_SQL.format(col="text")
+    return f"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({toks}) AS BIGINT) AS tokens,
+         {wcase} AS weight
+  FROM documents GROUP BY source
+), sh AS (
+  SELECT *,
+         tokens / CAST(SUM(tokens) OVER () AS BIGINT) AS token_share,
+         CAST(weight AS DOUBLE)
+           / CAST(SUM(weight) OVER () AS DOUBLE) AS target_share
+  FROM per
+), r AS (
+  SELECT *, CASE WHEN tokens > 0 THEN target_share / token_share
+                 ELSE 0.0 END AS raw
+  FROM sh
+)
+SELECT source, n_docs, tokens, token_share,
+       CAST(weight AS DOUBLE) AS weight, target_share,
+       raw / MAX(raw) OVER () AS rate,
+       tokens * (raw / MAX(raw) OVER ()) AS expected_tokens
+FROM r"""
+
+
 def _semdedup_sql(threshold: float | None = None) -> str:
     """Exact twin of operators/dedup.semdedup: the unrolled _kmeans_sql
     assignment, within-cluster cosine pairs at the double-cast
@@ -2623,6 +2745,9 @@ WHERE da.source <> db.source""",
         "repeated_passages": dd.repeated_passages_sql(),
         "repeated_spans": dd.repeated_spans_sql(),
         "span_cores": dd.span_cores_sql(),
+        "pack_sequences": _pack_sequences_sql(),
+        "mixture_weights": _mixture_weights_sql(),
+        "dedup_canonical": _canonical_sql(),
         "ewma_anomalies": _ewma_sql(),
         "pq_knn": _pq_sql(),
         "ivfpq_knn": _ivfpq_sql(),

@@ -1310,3 +1310,55 @@ def semdedup(
             F.coalesce(~F.col("has_smaller"), F.lit(True)).alias("keep"),
         )
     )
+
+
+def dedup_canonical(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    threshold: float = 0.5,
+    iters: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document selection — the step that closes the fuzzy-
+    dedup loop end-to-end: near-dup pairs (MinHash+LSH verified) →
+    connected components → keep exactly ONE representative per group by
+    the keep-longest rule (max char length, ties to the smaller doc id
+    — the C4/RefinedWeb-style choice of the most complete variant over
+    "keep the first seen"). Documents in no near-dup pair are their own
+    singleton components and always survive, so the output covers the
+    WHOLE corpus: the `keep` column IS the curation filter.
+
+    Scale shape: everything upstream is the banded/blocked minhash path
+    (never all-pairs) and bounded-round CC on the pair set only; this
+    layer adds one LEFT join of the corpus against the (tiny) component
+    table and one per-component window whose partition size is bounded
+    by the largest duplicate GROUP — skew-safe unless one document has
+    millions of near-identical variants, the same hazard bound as the
+    LSH bucket join upstream.
+
+    Output: doc_id, component, n_chars, keep. Oracle:
+    __spark_entry__._canonical_sql (components via the same unrolled
+    min-label CTEs, winner via the identical ROW_NUMBER ordering).
+    """
+    from pyspark.sql import Window
+
+    if pairs is None:
+        pairs = minhash_lsh_dedup(docs, threshold=threshold)
+    comp = dedup_components(pairs, iters=iters) if iters else dedup_components(pairs)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+    j = base.join(comp, "id", "left").select(
+        "id", F.coalesce("component", F.col("id")).alias("component"), "n_chars"
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("id").asc()
+    )
+    return j.select(
+        F.col("id").alias(id_col),
+        "component",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -177,3 +177,102 @@ def stratified_threshold_sql(
     )
     default_thr = int(rates.get("_default", 1.0) * 65536)
     return f"CASE {stratum_col} {whens} ELSE {default_thr} END"
+
+
+# Target mixture weights (relative, normalized over OBSERVED strata;
+# "_default" covers unlisted sources). Single source of truth — renders
+# into the Spark plan AND the DuckDB oracle (mixture_weight_case_sql).
+DEFAULT_TARGET_WEIGHTS = {"src0": 4.0, "src1": 2.0, "_default": 1.0}
+
+
+def _weight_col(weights: dict[str, float], stratum_col: str):
+    from pyspark.sql import functions as F
+
+    expr = None
+    for name in sorted(k for k in weights if k != "_default"):
+        w = F.lit(float(weights[name]))
+        cond = F.col(stratum_col) == name
+        expr = F.when(cond, w) if expr is None else expr.when(cond, w)
+    default = F.lit(float(weights.get("_default", 0.0)))
+    return (default if expr is None else expr.otherwise(default)).cast(
+        "decimal(18,6)"
+    )
+
+
+def mixture_weight_case_sql(
+    weights: dict[str, float], stratum_col: str = "source"
+) -> str:
+    """SQL twin of _weight_col (same dict, DECIMAL(18,6) both engines —
+    the weight SUM must be order-free for the bit-exact oracle)."""
+    whens = " ".join(
+        f"WHEN '{s}' THEN {float(w)!r}"
+        for s, w in sorted(weights.items())
+        if s != "_default"
+    )
+    default = float(weights.get("_default", 0.0))
+    return (
+        f"CAST(CASE {stratum_col} {whens} ELSE {default!r} END AS DECIMAL(18,6))"
+    )
+
+
+def mixture_weights(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data-mixing rate solver: given relative target weights per source
+    (DoReMi/Pile-style domain mixing), compute the per-source sampling
+    rate that realizes the target TOKEN shares without upsampling — the
+    binding source (largest target-to-actual ratio) keeps everything
+    (rate 1), every other source downsamples proportionally. Feed the
+    rates to stratified_sample for the actual consistent-hash pass.
+
+    rate_s = raw_s / max_t raw_t,  raw_s = target_share_s / token_share_s
+
+    Determinism discipline: token totals are integer sums (exact, any
+    partial-agg order); target weights accumulate as DECIMAL(18,6)
+    (order-free) and convert to double only for the final divisions,
+    which run in the same operand order on both engines — the oracle
+    hash is independent of partition count. Scale shape: one map-side-
+    combinable groupBy(source) → a strata-bounded table; every window
+    below runs over ≤|strata| rows (never data-sized).
+
+    Output: source, n_docs, tokens, token_share, weight, target_share,
+    rate, expected_tokens. Oracle: __spark_entry__._mixture_weights_sql.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..functions.text import token_count
+
+    weights = weights or DEFAULT_TARGET_WEIGHTS
+    per = docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).alias("tokens"),
+    )
+    w_all = Window.partitionBy()
+    per = per.withColumn("weight", _weight_col(weights, stratum_col))
+    per = per.withColumn(
+        "token_share",
+        F.col("tokens") / F.sum("tokens").over(w_all),
+    ).withColumn(
+        "target_share",
+        F.col("weight").cast("double")
+        / F.sum("weight").over(w_all).cast("double"),
+    )
+    raw = F.when(
+        F.col("tokens") > 0, F.col("target_share") / F.col("token_share")
+    ).otherwise(F.lit(0.0))
+    per = per.withColumn("raw", raw)
+    rate = F.col("raw") / F.max("raw").over(w_all)
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "tokens",
+        "token_share",
+        F.col("weight").cast("double").alias("weight"),
+        "target_share",
+        rate.alias("rate"),
+        (F.col("tokens") * rate).alias("expected_tokens"),
+    )

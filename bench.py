@@ -105,6 +105,8 @@ def main() -> None:
         "bigram_lm_scores",
         # r6 additions
         "span_cores",
+        "ivfpq_knn",
+        "semdedup",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -208,3 +208,29 @@ def test_semdedup_chain_collapses_to_lowest_id(spark):
     assert bool(out.loc[0, "keep"])
     assert not bool(out.loc[1, "keep"]) and not bool(out.loc[2, "keep"])
     assert out["n_similar"].tolist() == [1, 2, 1]
+
+
+def test_dedup_canonical_keeps_longest_per_group(spark):
+    """Planted near-dup group → exactly one survivor (the longest, ties
+    to the smaller id); unrelated docs are singletons and survive."""
+    from apm_opentelemetry_collector_spark.operators.dedup import dedup_canonical
+
+    base = " ".join(f"tok{j}" for j in range(60))
+    rows = [
+        (0, base + " short"),
+        (1, base + " a longer tail here"),      # longest → canonical
+        (2, base + " short"),                    # ties with 0 on length
+        (3, "completely different " + " ".join(f"z{j}" for j in range(40))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_canonical(docs).collect()}
+    grp = {i for i in range(3) if out[i]["component"] == out[0]["component"]}
+    assert grp == {0, 1, 2}
+    assert [out[i]["keep"] for i in (0, 1, 2)] == [False, True, False]
+    assert out[3]["keep"] and out[3]["component"] == 3
+    # pairs=... injection path: custom pair set overrides the minhash step
+    pairs = spark.createDataFrame([(0, 3)], "id_a long, id_b long")
+    out2 = {r["doc_id"]: r for r in dedup_canonical(docs, pairs=pairs).collect()}
+    assert out2[0]["component"] == out2[3]["component"] == 0
+    # doc 0 (60 tok-words) is longer than doc 3 → canonical
+    assert out2[0]["keep"] and not out2[3]["keep"]

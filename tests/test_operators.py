@@ -919,3 +919,77 @@ def test_bigram_lm_scores_rank_gibberish_below_prose(spark):
     soup = [out[10 + i]["avg_logp"] for i in range(6)]
     assert min(prose) > max(soup), (prose, soup)
     assert out[0]["n_bigrams"] == 19  # 20 tokens → 19 bigrams
+
+
+def test_pack_sequences_matches_serial_packing(spark):
+    """Concat-and-chunk vs a from-the-definition serial walk, plus
+    n_ranges invariance (the two-pass ranged prefix sum must be a pure
+    implementation detail) and empty-doc semantics (occupies no chunk)."""
+    from apm_opentelemetry_collector_spark.operators.pack import pack_sequences
+
+    rows = [
+        (0, "a b c"),                       # 3 tokens
+        (1, " ".join(f"t{j}" for j in range(10))),
+        (2, "   "),                          # 0 tokens — no chunk
+        (3, "one"),
+        (4, " ".join(f"u{j}" for j in range(7))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n_ranges in (1, 3, 8):
+        got = {
+            r["doc_id"]: r
+            for r in pack_sequences(docs, seq_len=4, n_ranges=n_ranges).collect()
+        }
+        # serial truth
+        start = 0
+        for doc_id, text in rows:
+            n = len(text.split())
+            r = got[doc_id]
+            assert r["n_tokens"] == n
+            assert r["start_tok"] == start
+            sc = start // 4
+            assert r["start_chunk"] == sc
+            if n:
+                ec = (start + n - 1) // 4
+                assert r["end_chunk"] == ec
+                assert r["n_chunks"] == ec - sc + 1
+                assert r["crosses_boundary"] == (ec > sc)
+            else:
+                assert (r["end_chunk"], r["n_chunks"], r["crosses_boundary"]) == (
+                    sc, 0, False,
+                )
+            start += n
+
+
+def test_mixture_weights_realizes_target_shares(spark):
+    """The binding source keeps rate 1; every surviving token mass is
+    proportional to the target weights (the defining property of the
+    no-upsampling mixing solve)."""
+    from apm_opentelemetry_collector_spark.operators.sample import mixture_weights
+
+    rows = (
+        [(i, "w " * 100, "big") for i in range(10)]
+        + [(100 + i, "w " * 10, "small") for i in range(10)]
+        + [(200 + i, "w " * 30, "mid") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, weights={"big": 1.0, "small": 1.0, "mid": 1.0}
+        ).collect()
+    }
+    # equal targets: the scarcest source (small) binds at rate 1
+    assert out["small"]["rate"] == 1.0
+    # expected tokens equalized across sources at the binding level
+    for s in ("big", "mid"):
+        assert abs(out[s]["expected_tokens"] - out["small"]["expected_tokens"]) < 1e-9
+    # skewed targets: 3:1:1 → expected tokens in 3:1:1 ratio
+    out2 = {
+        r["source"]: r
+        for r in mixture_weights(
+            docs, weights={"big": 3.0, "_default": 1.0}
+        ).collect()
+    }
+    assert abs(out2["big"]["expected_tokens"] / out2["mid"]["expected_tokens"] - 3.0) < 1e-9
+    assert max(r["rate"] for r in out2.values()) == 1.0

@@ -238,7 +238,8 @@ def test_new_queries_no_python_nodes(spark):
                  "repeated_spans", "ewma_anomalies", "pq_knn",
                  "bigram_lm_scores",
                  # r6
-                 "span_cores"):
+                 "span_cores", "ivfpq_knn", "semdedup", "pack_sequences",
+                 "mixture_weights", "dedup_canonical"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

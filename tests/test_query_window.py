@@ -33,6 +33,10 @@ MUST_BE_IN_WINDOW = {
     "ivfpq_knn",
     "semdedup",
     "pq_knn",
+    # late-r6 additions
+    "pack_sequences",
+    "mixture_weights",
+    "dedup_canonical",
 }
 
 
