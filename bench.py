@@ -107,6 +107,9 @@ def main() -> None:
         "span_cores",
         "ivfpq_knn",
         "semdedup",
+        "pack_sequences",
+        "mixture_weights",
+        "dedup_canonical",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
@@ -126,8 +129,13 @@ def main() -> None:
     # the headline: the heaviest stable query runs once so the bench
     # stays under the 5-minute budget (its round-over-round story is
     # carried by the r4/r5 BENCH records; a single rep still catches
-    # regressions at the 2x level that matters)
-    SINGLE_REP = {"dedup_components_star"}
+    # regressions at the 2x level that matters). BUT a single rep is
+    # spike-vulnerable (an r6 draw recorded 60.6 s for a ~16 s query
+    # under host contention, unretried) — so if the lone rep exceeds
+    # SPIKE_RETRY_S it earns ONE later-in-the-round retry; quiet draws
+    # still pay a single rep.
+    SINGLE_REP = {"dedup_components_star", "dedup_canonical"}
+    SPIKE_RETRY_S = 40.0
     E2E = "pipeline_e2e_synth"
     workdir = tempfile.mkdtemp(prefix="bench_")
     qmap = entry.queries()
@@ -140,7 +148,8 @@ def main() -> None:
                 if n >= REPS:
                     continue
                 if name in SINGLE_REP and n >= 1:
-                    continue
+                    if n >= 2 or min(times[name]) <= SPIKE_RETRY_S:
+                        continue
                 if name != E2E:
                     # Budget caps use the MINIMUM so far and only after 2
                     # reps: a contention spike on rep 1 must neither lock
