@@ -1116,6 +1116,17 @@ def q_mixture_weights(spark, sf_dir):
     return mixture_weights(_load(spark, sf_dir, "documents"))
 
 
+def q_gopher_quality_filters(spark, sf_dir):
+    """Published Gopher pretraining quality heuristics (Rae et al.
+    2021, App. A1.1) as per-rule booleans + overall keep: word-count
+    bounds, mean-word-length bounds, symbol-to-word ratio, bullet /
+    ellipsis line fractions, alpha-word fraction, stop-word presence.
+    Pure codegen'd Column expressions over one corpus scan — zero
+    shuffles; booleans decided by integer cross-multiplication so both
+    engines agree bit-exactly."""
+    return textfn.gopher_quality(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1281,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": q_dedup_canonical,
         "ivfpq_knn": q_ivfpq_knn,
         "semdedup": q_semdedup,
+        "gopher_quality_filters": q_gopher_quality_filters,
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
@@ -2753,6 +2765,7 @@ WHERE da.source <> db.source""",
         "ivfpq_knn": _ivfpq_sql(),
         "semdedup": _semdedup_sql(),
         "bigram_lm_scores": textfn.bigram_lm_scores_sql(),
+        "gopher_quality_filters": textfn.gopher_quality_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

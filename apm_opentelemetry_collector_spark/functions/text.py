@@ -413,3 +413,159 @@ WITH docs_n AS (
 SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logp
 FROM scored GROUP BY id"""
+
+
+# --- Gopher quality rules ----------------------------------------------------
+# The published Gopher pretraining quality heuristics (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", App. A1.1), re-expressed as pure Column expressions. Every
+# pass/fail boolean is decided with INTEGER cross-multiplication
+# (10*symbols < words instead of symbols/words < 0.1) so the booleans
+# are bit-exact across engines regardless of float literal/rounding
+# behavior; the reported ratio columns are exact int/int doubles.
+# These constants feed BOTH the Spark plan and the DuckDB oracle
+# (gopher_quality_sql) — single source of truth, never fork.
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLET_RE = r"^\s*[-*•]"
+GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
+GOPHER_ELLIPSIS_COUNT_RE = r"\.\.\."
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3  # inclusive: 3 <= mean <= 10
+GOPHER_MAX_MEAN_WORD_LEN = 10
+# ratio rules as integer cross-multiplication (num_mult, den_mult):
+GOPHER_SYMBOL_RATIO = (10, 1)  # symbols/words < 0.1   <=> 10*sym  < 1*words
+GOPHER_BULLET_FRAC = (10, 9)  # bullets/lines < 0.9   <=> 10*bul  < 9*lines
+GOPHER_ELLIPSIS_FRAC = (10, 3)  # ell_ln/lines  < 0.3   <=> 10*ell  < 3*lines
+GOPHER_ALPHA_FRAC = (5, 4)  # alpha/words   > 0.8   <=> 5*alpha > 4*words
+GOPHER_MIN_STOP_WORDS = 2
+
+
+def gopher_quality(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
+    """Per-document Gopher rule metrics + per-rule booleans + overall keep.
+
+    100 TB shape: one narrow projection over the corpus scan — zero
+    shuffles, zero joins, every expression inside WholeStageCodegen
+    (rlike/split/filter are JVM higher-order functions, no Python).
+    """
+    c = F.col(text_col)
+    t = F.trim(c)
+    words = F.split(t, WS_RE)
+    n_words = token_count(c)
+    # sum of word lengths == count of non-whitespace chars (words are the
+    # \s+ split), so mean word length needs no per-word fold
+    non_ws = F.length(F.regexp_replace(c, r"\s", "")).cast("bigint")
+    n_symbols = (
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(GOPHER_ELLIPSIS_COUNT_RE))
+    ).cast("bigint")
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_bullets = F.size(
+        F.filter(lines, lambda x: x.rlike(GOPHER_BULLET_RE))
+    ).cast("bigint")
+    n_ell_lines = F.size(
+        F.filter(lines, lambda x: x.rlike(GOPHER_ELLIPSIS_RE))
+    ).cast("bigint")
+    # empty/ws-only text splits to [''] which has no alpha char -> 0
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))).cast("bigint")
+    n_stop = sum(
+        (
+            (marker_count(c, w) > 0).cast("bigint")
+            for w in GOPHER_STOP_WORDS
+        ),
+        start=F.lit(0).cast("bigint"),
+    )
+    safe_words = F.when(n_words > 0, n_words).otherwise(F.lit(1))
+    sym_n, sym_d = GOPHER_SYMBOL_RATIO
+    bul_n, bul_d = GOPHER_BULLET_FRAC
+    ell_n, ell_d = GOPHER_ELLIPSIS_FRAC
+    alp_n, alp_d = GOPHER_ALPHA_FRAC
+    passes = {
+        "pass_word_count": (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS),
+        "pass_mean_word_len": (n_words > 0)
+        & (GOPHER_MIN_MEAN_WORD_LEN * n_words <= non_ws)
+        & (non_ws <= GOPHER_MAX_MEAN_WORD_LEN * n_words),
+        "pass_symbol_ratio": sym_n * n_symbols < sym_d * n_words,
+        "pass_bullet_lines": bul_n * n_bullets < bul_d * n_lines,
+        "pass_ellipsis_lines": ell_n * n_ell_lines < ell_d * n_lines,
+        "pass_alpha_words": alp_n * n_alpha > alp_d * n_words,
+        "pass_stopwords": n_stop >= GOPHER_MIN_STOP_WORDS,
+    }
+    keep = None
+    for b in passes.values():
+        keep = b if keep is None else (keep & b)
+    return df.select(
+        *id_cols,
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        F.when(n_words > 0, non_ws / safe_words).otherwise(F.lit(0.0)).alias(
+            "mean_word_len"
+        ),
+        (n_symbols / safe_words).alias("symbol_ratio"),
+        (n_bullets / n_lines).alias("bullet_line_frac"),
+        (n_ell_lines / n_lines).alias("ellipsis_line_frac"),
+        (n_alpha / safe_words).alias("alpha_word_frac"),
+        n_stop.alias("n_stopwords_present"),
+        *[expr.alias(name) for name, expr in passes.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_quality_sql(table: str = "documents", id_col: str = "doc_id", col: str = "text") -> str:
+    """DuckDB twin of gopher_quality — rendered from the SAME constants.
+
+    Booleans use the identical integer cross-multiplication, so they are
+    bit-exact; ratio columns are exact int/int doubles in both engines.
+    """
+    stop_sum = " + ".join(
+        f"(CASE WHEN {marker_count_sql(col, w)} > 0 THEN 1 ELSE 0 END)"
+        for w in GOPHER_STOP_WORDS
+    )
+    sym_n, sym_d = GOPHER_SYMBOL_RATIO
+    bul_n, bul_d = GOPHER_BULLET_FRAC
+    ell_n, ell_d = GOPHER_ELLIPSIS_FRAC
+    alp_n, alp_d = GOPHER_ALPHA_FRAC
+    conds = {
+        "pass_word_count": (
+            f"(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})"
+        ),
+        "pass_mean_word_len": (
+            f"(n_words > 0 AND {GOPHER_MIN_MEAN_WORD_LEN} * n_words <= non_ws"
+            f" AND non_ws <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words)"
+        ),
+        "pass_symbol_ratio": f"({sym_n} * n_symbols < {sym_d} * n_words)",
+        "pass_bullet_lines": f"({bul_n} * n_bullets < {bul_d} * n_lines)",
+        "pass_ellipsis_lines": f"({ell_n} * n_ell_lines < {ell_d} * n_lines)",
+        "pass_alpha_words": f"({alp_n} * n_alpha > {alp_d} * n_words)",
+        "pass_stopwords": f"(n_stop >= {GOPHER_MIN_STOP_WORDS})",
+    }
+    pass_cols = ",\n  ".join(f"{cond} AS {name}" for name, cond in conds.items())
+    keep = " AND ".join(conds.values())
+    return f"""
+WITH m AS (
+  SELECT {id_col},
+    CAST({TOKEN_COUNT_SQL.format(col=col)} AS BIGINT) AS n_words,
+    CAST(length(regexp_replace({col}, '\\s', '', 'g')) AS BIGINT) AS non_ws,
+    CAST(len(regexp_extract_all({col}, '#'))
+       + len(regexp_extract_all({col}, '{GOPHER_ELLIPSIS_COUNT_RE}')) AS BIGINT) AS n_symbols,
+    CAST(len(string_split({col}, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(string_split({col}, chr(10)),
+         x -> regexp_matches(x, '{GOPHER_BULLET_RE}'))) AS BIGINT) AS n_bullets,
+    CAST(len(list_filter(string_split({col}, chr(10)),
+         x -> regexp_matches(x, '{GOPHER_ELLIPSIS_RE}'))) AS BIGINT) AS n_ell_lines,
+    CAST(len(list_filter(regexp_split_to_array(trim({col}), '\\s+'),
+         x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+    CAST({stop_sum} AS BIGINT) AS n_stop
+  FROM {table}
+)
+SELECT {id_col}, n_words, n_lines,
+  CASE WHEN n_words > 0 THEN non_ws / n_words ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
+  n_symbols / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END) AS symbol_ratio,
+  n_bullets / n_lines AS bullet_line_frac,
+  n_ell_lines / n_lines AS ellipsis_line_frac,
+  n_alpha / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END) AS alpha_word_frac,
+  n_stop AS n_stopwords_present,
+  {pass_cols},
+  ({keep}) AS keep
+FROM m"""

@@ -993,3 +993,45 @@ def test_mixture_weights_realizes_target_shares(spark):
     }
     assert abs(out2["big"]["expected_tokens"] / out2["mid"]["expected_tokens"] - 3.0) < 1e-9
     assert max(r["rate"] for r in out2.values()) == 1.0
+
+
+def test_gopher_quality_filters_each_rule_fires(spark):
+    """Crafted fixtures: each Gopher rule fails on exactly the doc built
+    to violate it (and only that rule), the clean prose doc passes all
+    seven, and an empty doc fails closed."""
+    from apm_opentelemetry_collector_spark.functions.text import gopher_quality
+
+    base = "the cat and the dog have seen that story with great interest today"
+    good = " ".join([base] * 5)  # 65 words, mean len ~4.2, 5 stop words
+    rows = [
+        (0, good),
+        (1, "\n".join("- " + base for _ in range(10))),        # all lines bulleted
+        (2, "\n".join([base + " ..."] * 4 + [base] * 6)),      # 40% ellipsis lines
+        (3, good + " " + " ".join(["#"] * 10)),                # symbol ratio > 0.1
+        (4, base),                                              # 13 words < 50
+        (5, " ".join(["the", "of"] + ["pneumonoultramicroscopic"] * 60)),  # mean len > 10
+        (6, good + " " + " ".join(str(n) for n in range(40))),  # alpha frac <= 0.8
+        (7, " ".join(["red green blue small large"] * 13)),     # no stop words
+        (8, "   "),                                             # empty: fails closed
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
+
+    flags = [k for k in out[0] if k.startswith("pass_")]
+    assert out[0]["keep"] is True and all(out[0][f] for f in flags)
+    expected_fail = {
+        1: "pass_bullet_lines",
+        2: "pass_ellipsis_lines",
+        3: "pass_symbol_ratio",
+        4: "pass_word_count",
+        5: "pass_mean_word_len",
+        6: "pass_alpha_words",
+        7: "pass_stopwords",
+    }
+    for doc_id, failing in expected_fail.items():
+        got_failing = {f for f in flags if not out[doc_id][f]}
+        assert got_failing == {failing}, (doc_id, got_failing)
+        assert out[doc_id]["keep"] is False
+    # empty text: word-count and derived rules fail, nothing passes it in
+    assert out[8]["keep"] is False and out[8]["n_words"] == 0
+    assert out[8]["mean_word_len"] == 0.0

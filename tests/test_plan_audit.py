@@ -239,7 +239,8 @@ def test_new_queries_no_python_nodes(spark):
                  "bigram_lm_scores",
                  # r6
                  "span_cores", "ivfpq_knn", "semdedup", "pack_sequences",
-                 "mixture_weights", "dedup_canonical"):
+                 "mixture_weights", "dedup_canonical",
+                 "gopher_quality_filters"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

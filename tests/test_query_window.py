@@ -37,6 +37,7 @@ MUST_BE_IN_WINDOW = {
     "pack_sequences",
     "mixture_weights",
     "dedup_canonical",
+    "gopher_quality_filters",
 }
 
 
