@@ -1127,6 +1127,43 @@ def q_gopher_quality_filters(spark, sf_dir):
     return textfn.gopher_quality(_load(spark, sf_dir, "documents"))
 
 
+def q_c4_line_filters(spark, sf_dir):
+    """Published C4 line-level cleaning rules (Raffel et al. 2020 §2.2)
+    over deterministically "lined" documents: the corpus is single-line
+    token soup, so the query first fabricates a 3-line doc from each
+    row (full text + a 2-word stub + the front half, each
+    period-terminated) — the operator then drops the stub (< 5 words),
+    keeps/drops the halves by their own word counts, and re-joins the
+    kept lines. Same construction in the oracle; rules stay the
+    published constants."""
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(".\na b.\n"),
+            F.expr("substring(text, 1, CAST(length(text) AS BIGINT) DIV 2)"),
+            F.lit(".\n"),
+            # (doc_id % 8) + 2 leading words: crosses the 5-word line rule
+            # at doc_id % 8 == 3, so n_kept_lines and keep vary per doc
+            F.expr(
+                "array_join(slice(split(text, ' '), 1,"
+                " CAST(doc_id % 8 AS INT) + 2), ' ')"
+            ),
+            F.lit("."),
+        ).alias("text"),
+    )
+    return textfn.c4_line_filters(docs)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-unigram
+    (4096-bucket md5) log-likelihood ratio of each doc under the
+    src0-slice target distribution vs the whole corpus, add-one
+    smoothed, DECIMAL-exact per-doc accumulation — the published
+    data-selection scorer that feeds weighted resampling."""
+    return textfn.dsir_weights(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1293,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_knn": q_ivfpq_knn,
         "semdedup": q_semdedup,
         "gopher_quality_filters": q_gopher_quality_filters,
+        "c4_line_filters": q_c4_line_filters,
+        "dsir_weights": q_dsir_weights,
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
@@ -2766,6 +2805,18 @@ WHERE da.source <> db.source""",
         "semdedup": _semdedup_sql(),
         "bigram_lm_scores": textfn.bigram_lm_scores_sql(),
         "gopher_quality_filters": textfn.gopher_quality_sql(),
+        "c4_line_filters": textfn.c4_line_filters_sql(
+            table="lined",
+            pre_cte=(
+                "lined AS (SELECT doc_id, text || '.' || chr(10) || 'a b.'"
+                " || chr(10) || substr(text, 1, length(text) // 2) || '.'"
+                " || chr(10) || array_to_string("
+                "string_split(text, ' ')[1:CAST(doc_id % 8 AS INT) + 2], ' ')"
+                " || '.' AS text"
+                " FROM documents)"
+            ),
+        ),
+        "dsir_weights": textfn.dsir_weights_sql(),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

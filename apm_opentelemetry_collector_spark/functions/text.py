@@ -569,3 +569,195 @@ SELECT {id_col}, n_words, n_lines,
   {pass_cols},
   ({keep}) AS keep
 FROM m"""
+
+
+# --- C4 line filters ---------------------------------------------------------
+# The published C4 line-level cleaning rules (Raffel et al. 2020, §2.2):
+# keep lines that end in terminal punctuation AND have >= 5 words; drop
+# the whole page when it has < 3 retained lines, mentions "lorem ipsum",
+# or contains a curly brace (code). Constants feed BOTH engines.
+C4_TERMINAL_RE = r'[.!?"]\s*$'
+C4_MIN_LINE_WORDS = 5
+C4_MIN_KEPT_LINES = 3
+C4_LOREM = "lorem ipsum"
+C4_BRACE = "{"
+
+
+def c4_line_filters(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
+    """C4 line-level cleaning: per-doc retained-line stats + the CLEANED
+    text (retained lines re-joined) + doc-level keep.
+
+    100 TB shape: one pruned corpus scan, all line logic as JVM
+    higher-order array functions inside the projection — zero shuffles,
+    no Python. The rewritten text column makes this the one curation
+    operator that EDITS documents rather than scoring them; downstream
+    fingerprints/dedup run on cleaned_text.
+    """
+    c = F.col(text_col)
+    lines = F.split(c, "\n")
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(F.trim(x), WS_RE)) >= C4_MIN_LINE_WORDS),
+    )
+    n_lines = F.size(lines).cast("bigint")
+    n_kept = F.size(kept).cast("bigint")
+    has_lorem = F.lower(c).contains(C4_LOREM)
+    has_brace = c.contains(C4_BRACE)
+    return df.select(
+        *id_cols,
+        n_lines.alias("n_lines"),
+        n_kept.alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("cleaned_text"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        ((n_kept >= C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace).alias("keep"),
+    )
+
+
+def c4_line_filters_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    col: str = "text",
+    pre_cte: str | None = None,
+) -> str:
+    """DuckDB twin of c4_line_filters (same constants, same line rules).
+    `pre_cte` lets the caller prepend an input-shaping CTE ("lined AS
+    (...)") without nesting WITH clauses."""
+    kept = (
+        f"list_filter(string_split({col}, chr(10)), "
+        f"x -> regexp_matches(x, '{C4_TERMINAL_RE}') "
+        f"AND len(regexp_split_to_array(trim(x), '\\s+')) >= {C4_MIN_LINE_WORDS})"
+    )
+    pre = f"{pre_cte}, " if pre_cte else ""
+    return f"""
+WITH {pre}m AS (
+  SELECT {id_col},
+    CAST(len(string_split({col}, chr(10))) AS BIGINT) AS n_lines,
+    CAST(len({kept}) AS BIGINT) AS n_kept_lines,
+    COALESCE(array_to_string({kept}, chr(10)), '') AS cleaned_text,
+    contains(lower({col}), '{C4_LOREM}') AS has_lorem,
+    contains({col}, '{C4_BRACE}') AS has_brace
+  FROM {table}
+)
+SELECT {id_col}, n_lines, n_kept_lines, cleaned_text, has_lorem, has_brace,
+       (n_kept_lines >= {C4_MIN_KEPT_LINES} AND NOT has_lorem AND NOT has_brace) AS keep
+FROM m"""
+
+
+# --- DSIR importance weights -------------------------------------------------
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# document by how much more likely its hashed-unigram features are under
+# a TARGET distribution than under the raw-corpus distribution; resample
+# by weight downstream. Bucket = first 3 md5 hex nibbles (4096 buckets),
+# add-one smoothing on both sides. Constants feed BOTH engines.
+DSIR_BUCKETS = 4096  # = 16^DSIR_NIBBLES; bucket ids are the raw nibble value
+DSIR_NIBBLES = 3
+DSIR_TARGET_SOURCE = "src0"
+
+
+def dsir_weights(
+    docs,
+    target_source: str = DSIR_TARGET_SOURCE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Per-document DSIR log importance weight vs an in-corpus target.
+
+    log w(doc) = Σ_tokens [ln p_target(b(w)) − ln p_raw(b(w))] with
+    hashed-unigram buckets b(w) = int(md5(w)[:3 nibbles]) and add-one
+    smoothing; p_target is trained on the `target_source` slice, p_raw
+    on the whole corpus (one conditional aggregate — no second scan).
+
+    Spark shape: tokenize once; ONE map-side-combinable groupBy(bucket)
+    with a conditional target count; the 4096-row log-ratio table
+    broadcasts back onto the token stream (map-side join); the per-doc
+    sum accumulates DECIMAL(28,12) log-ratio terms — order-independent,
+    so the oracle hash is independent of partial-agg order (the
+    bigram-LM trick). Zero non-broadcast joins; the only shuffles are
+    the bucket count (4096 keys) and the per-doc sum.
+
+    Output: doc_id, n_tokens, log_weight (double, rounded 6dp);
+    descending log_weight = most-target-like first.
+    """
+    b_expr = F.conv(
+        F.substring(F.md5(F.col("w").cast("binary")), 1, DSIR_NIBBLES), 16, 10
+    ).cast("bigint")
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+            F.explode(F.split(normalized(text_col), " ")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+        .select("id", "src", b_expr.alias("b"))
+    )
+    counts = toks.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("c_r"),
+        F.sum(F.when(F.col("src") == target_source, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c_t"),
+    )
+    totals = counts.agg(
+        F.sum("c_r").cast("bigint").alias("tot_r"),
+        F.sum("c_t").cast("bigint").alias("tot_t"),
+    )
+    lr = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        (
+            F.log((F.col("c_t") + 1) / (F.col("tot_t") + DSIR_BUCKETS))
+            - F.log((F.col("c_r") + 1) / (F.col("tot_r") + DSIR_BUCKETS))
+        )
+        .cast("decimal(28,12)")
+        .alias("lr"),
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("lr").cast("double"), 6).alias("log_weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_tokens", "log_weight")
+    )
+
+
+def dsir_weights_sql(
+    table: str = "documents",
+    target_source: str = DSIR_TARGET_SOURCE,
+    id_col: str = "doc_id",
+    col: str = "text",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of dsir_weights (same tokenizer, buckets, smoothing,
+    decimal accumulation)."""
+    nib = "instr('0123456789abcdef', substr(md5(w), {i}, 1)) - 1"
+    b_sql = " + ".join(
+        f"({nib.format(i=i + 1)}) * {16 ** (DSIR_NIBBLES - 1 - i)}"
+        for i in range(DSIR_NIBBLES)
+    )
+    return f"""
+WITH docs_n AS (
+  SELECT {id_col} AS id, {source_col} AS src,
+         string_split(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')), ' ') AS l
+  FROM {table}
+), toks AS (
+  SELECT id, src, CAST({b_sql} AS BIGINT) AS b
+  FROM (SELECT id, src, unnest(l) AS w FROM docs_n)
+  WHERE w <> ''
+), counts AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c_r,
+         CAST(sum(CASE WHEN src = '{target_source}' THEN 1 ELSE 0 END) AS BIGINT) AS c_t
+  FROM toks GROUP BY b
+), totals AS (
+  SELECT CAST(sum(c_r) AS BIGINT) AS tot_r, CAST(sum(c_t) AS BIGINT) AS tot_t FROM counts
+), lr AS (
+  SELECT b, CAST(ln((c_t + 1) / (tot_t + {DSIR_BUCKETS}))
+             - ln((c_r + 1) / (tot_r + {DSIR_BUCKETS})) AS DECIMAL(28,12)) AS lr
+  FROM counts CROSS JOIN totals
+)
+SELECT id AS {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(CAST(sum(lr) AS DOUBLE), 6) AS log_weight
+FROM toks JOIN lr USING (b)
+GROUP BY id"""

@@ -1035,3 +1035,56 @@ def test_gopher_quality_filters_each_rule_fires(spark):
     # empty text: word-count and derived rules fail, nothing passes it in
     assert out[8]["keep"] is False and out[8]["n_words"] == 0
     assert out[8]["mean_word_len"] == 0.0
+
+
+def test_c4_line_filters_rules(spark):
+    """Crafted fixtures: terminal-punctuation and min-word line rules,
+    kept-line rejoin, and the three doc-level drops (too few kept
+    lines, lorem ipsum, curly brace)."""
+    from apm_opentelemetry_collector_spark.functions.text import c4_line_filters
+
+    good_line = "this sentence has at least five words."
+    rows = [
+        (0, "\n".join([good_line] * 3)),                    # 3 kept -> keep
+        (1, "\n".join([good_line, "too short.", "no terminal punctuation here at all", good_line, good_line])),
+        (2, "\n".join([good_line] * 2)),                    # only 2 kept -> drop
+        (3, "\n".join([good_line] * 3) + "\nsee Lorem Ipsum text."),
+        (4, "\n".join([good_line] * 3) + "\nvar x = { a: 1 };"),
+        (5, 'is a quote fine as terminal punctuation?" yes it is."'),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_line_filters(docs).collect()}
+
+    assert out[0]["keep"] is True and out[0]["n_kept_lines"] == 3
+    assert out[0]["cleaned_text"] == "\n".join([good_line] * 3)
+    # short + unterminated lines dropped, the three good ones kept
+    assert out[1]["n_kept_lines"] == 3 and out[1]["keep"] is True
+    assert "too short." not in out[1]["cleaned_text"]
+    assert "no terminal" not in out[1]["cleaned_text"]
+    assert out[2]["keep"] is False and out[2]["n_kept_lines"] == 2
+    assert out[3]["keep"] is False and out[3]["has_lorem"] is True
+    assert out[4]["keep"] is False and out[4]["has_brace"] is True
+    # single line ending in a double quote counts as terminal
+    assert out[5]["n_kept_lines"] == 1
+
+
+def test_dsir_weights_rank_target_like_docs(spark):
+    """DSIR must rank same-length docs by target-likeness: a doc made of
+    target vocabulary scores above a mixed doc, which scores above an
+    off-vocabulary doc — regardless of which source the doc sits in."""
+    from apm_opentelemetry_collector_spark.functions.text import dsir_weights
+
+    tgt_words, off_words = "alpha beta gamma delta", "zulu yankee xray whiskey"
+    rows = [(i, " ".join([tgt_words] * 4), "tgt") for i in range(5)]
+    rows += [(10 + i, " ".join([off_words] * 4), "other") for i in range(3)]
+    rows += [(20, " ".join([tgt_words] * 4), "other")]            # target-like
+    rows += [(21, " ".join([tgt_words, off_words] * 2), "other")]  # mixed
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_weights(docs, target_source="tgt").collect()
+    }
+    assert all(out[i]["n_tokens"] == 16 for i in out)
+    assert out[20]["log_weight"] > out[21]["log_weight"] > out[10]["log_weight"]
+    # target-vocab docs score identically wherever they live
+    assert out[20]["log_weight"] == out[0]["log_weight"]

@@ -38,6 +38,8 @@ MUST_BE_IN_WINDOW = {
     "mixture_weights",
     "dedup_canonical",
     "gopher_quality_filters",
+    "c4_line_filters",
+    "dsir_weights",
 }
 
 
