@@ -1130,12 +1130,13 @@ def q_gopher_quality_filters(spark, sf_dir):
 def q_c4_line_filters(spark, sf_dir):
     """Published C4 line-level cleaning rules (Raffel et al. 2020 §2.2)
     over deterministically "lined" documents: the corpus is single-line
-    token soup, so the query first fabricates a 3-line doc from each
-    row (full text + a 2-word stub + the front half, each
-    period-terminated) — the operator then drops the stub (< 5 words),
-    keeps/drops the halves by their own word counts, and re-joins the
-    kept lines. Same construction in the oracle; rules stay the
-    published constants."""
+    token soup, so the query first fabricates a 4-line doc from each
+    row (full text; a 2-word stub; the front half; a (doc_id%8)+2-word
+    leading slice — each period-terminated). The operator then drops
+    the stub (< 5 words), keeps the full/half lines, and keeps or drops
+    the sliced line by its doc_id-modulated word count, so
+    n_kept_lines and keep genuinely vary per doc. Same construction in
+    the oracle's pre-CTE; rules stay the published constants."""
     docs = _load(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(

@@ -428,13 +428,15 @@ FROM scored GROUP BY id"""
 GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 GOPHER_BULLET_RE = r"^\s*[-*•]"
 GOPHER_ELLIPSIS_RE = r"(\.\.\.|…)\s*$"
-GOPHER_ELLIPSIS_COUNT_RE = r"\.\.\."
+GOPHER_ELLIPSIS_COUNT_RE = r"(\.\.\.|…)"  # ASCII or unicode ellipsis
 GOPHER_MIN_WORDS = 50
 GOPHER_MAX_WORDS = 100_000
 GOPHER_MIN_MEAN_WORD_LEN = 3  # inclusive: 3 <= mean <= 10
 GOPHER_MAX_MEAN_WORD_LEN = 10
 # ratio rules as integer cross-multiplication (num_mult, den_mult):
-GOPHER_SYMBOL_RATIO = (10, 1)  # symbols/words < 0.1   <=> 10*sym  < 1*words
+# the paper drops a doc when EITHER the hash ratio OR the ellipsis ratio
+# exceeds 0.1 — two independent ratios, not one pooled count (r6 review)
+GOPHER_SYMBOL_RATIO = (10, 1)  # sym/words  < 0.1   <=> 10*sym  < 1*words
 GOPHER_BULLET_FRAC = (10, 9)  # bullets/lines < 0.9   <=> 10*bul  < 9*lines
 GOPHER_ELLIPSIS_FRAC = (10, 3)  # ell_ln/lines  < 0.3   <=> 10*ell  < 3*lines
 GOPHER_ALPHA_FRAC = (5, 4)  # alpha/words   > 0.8   <=> 5*alpha > 4*words
@@ -455,9 +457,8 @@ def gopher_quality(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_
     # sum of word lengths == count of non-whitespace chars (words are the
     # \s+ split), so mean word length needs no per-word fold
     non_ws = F.length(F.regexp_replace(c, r"\s", "")).cast("bigint")
-    n_symbols = (
-        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(GOPHER_ELLIPSIS_COUNT_RE))
-    ).cast("bigint")
+    n_hash = F.regexp_count(c, F.lit("#")).cast("bigint")
+    n_ellipsis = F.regexp_count(c, F.lit(GOPHER_ELLIPSIS_COUNT_RE)).cast("bigint")
     lines = F.split(c, "\n")
     n_lines = F.size(lines).cast("bigint")
     n_bullets = F.size(
@@ -486,7 +487,8 @@ def gopher_quality(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_
         "pass_mean_word_len": (n_words > 0)
         & (GOPHER_MIN_MEAN_WORD_LEN * n_words <= non_ws)
         & (non_ws <= GOPHER_MAX_MEAN_WORD_LEN * n_words),
-        "pass_symbol_ratio": sym_n * n_symbols < sym_d * n_words,
+        "pass_symbol_ratio": (sym_n * n_hash < sym_d * n_words)
+        & (sym_n * n_ellipsis < sym_d * n_words),
         "pass_bullet_lines": bul_n * n_bullets < bul_d * n_lines,
         "pass_ellipsis_lines": ell_n * n_ell_lines < ell_d * n_lines,
         "pass_alpha_words": alp_n * n_alpha > alp_d * n_words,
@@ -502,7 +504,8 @@ def gopher_quality(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_
         F.when(n_words > 0, non_ws / safe_words).otherwise(F.lit(0.0)).alias(
             "mean_word_len"
         ),
-        (n_symbols / safe_words).alias("symbol_ratio"),
+        (n_hash / safe_words).alias("hash_ratio"),
+        (n_ellipsis / safe_words).alias("ellipsis_ratio"),
         (n_bullets / n_lines).alias("bullet_line_frac"),
         (n_ell_lines / n_lines).alias("ellipsis_line_frac"),
         (n_alpha / safe_words).alias("alpha_word_frac"),
@@ -534,7 +537,10 @@ def gopher_quality_sql(table: str = "documents", id_col: str = "doc_id", col: st
             f"(n_words > 0 AND {GOPHER_MIN_MEAN_WORD_LEN} * n_words <= non_ws"
             f" AND non_ws <= {GOPHER_MAX_MEAN_WORD_LEN} * n_words)"
         ),
-        "pass_symbol_ratio": f"({sym_n} * n_symbols < {sym_d} * n_words)",
+        "pass_symbol_ratio": (
+            f"({sym_n} * n_hash < {sym_d} * n_words"
+            f" AND {sym_n} * n_ellipsis < {sym_d} * n_words)"
+        ),
         "pass_bullet_lines": f"({bul_n} * n_bullets < {bul_d} * n_lines)",
         "pass_ellipsis_lines": f"({ell_n} * n_ell_lines < {ell_d} * n_lines)",
         "pass_alpha_words": f"({alp_n} * n_alpha > {alp_d} * n_words)",
@@ -547,8 +553,8 @@ WITH m AS (
   SELECT {id_col},
     CAST({TOKEN_COUNT_SQL.format(col=col)} AS BIGINT) AS n_words,
     CAST(length(regexp_replace({col}, '\\s', '', 'g')) AS BIGINT) AS non_ws,
-    CAST(len(regexp_extract_all({col}, '#'))
-       + len(regexp_extract_all({col}, '{GOPHER_ELLIPSIS_COUNT_RE}')) AS BIGINT) AS n_symbols,
+    CAST(len(regexp_extract_all({col}, '#')) AS BIGINT) AS n_hash,
+    CAST(len(regexp_extract_all({col}, '{GOPHER_ELLIPSIS_COUNT_RE}')) AS BIGINT) AS n_ellipsis,
     CAST(len(string_split({col}, chr(10))) AS BIGINT) AS n_lines,
     CAST(len(list_filter(string_split({col}, chr(10)),
          x -> regexp_matches(x, '{GOPHER_BULLET_RE}'))) AS BIGINT) AS n_bullets,
@@ -561,7 +567,8 @@ WITH m AS (
 )
 SELECT {id_col}, n_words, n_lines,
   CASE WHEN n_words > 0 THEN non_ws / n_words ELSE CAST(0 AS DOUBLE) END AS mean_word_len,
-  n_symbols / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END) AS symbol_ratio,
+  n_hash / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END) AS hash_ratio,
+  n_ellipsis / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END) AS ellipsis_ratio,
   n_bullets / n_lines AS bullet_line_frac,
   n_ell_lines / n_lines AS ellipsis_line_frac,
   n_alpha / (CASE WHEN n_words > 0 THEN n_words ELSE 1 END) AS alpha_word_frac,
@@ -668,19 +675,28 @@ def dsir_weights(
     log w(doc) = Σ_tokens [ln p_target(b(w)) − ln p_raw(b(w))] with
     hashed-unigram buckets b(w) = int(md5(w)[:3 nibbles]) and add-one
     smoothing; p_target is trained on the `target_source` slice, p_raw
-    on the whole corpus (one conditional aggregate — no second scan).
+    on the whole corpus (one conditional aggregate — not two count
+    passes).
 
-    Spark shape: tokenize once; ONE map-side-combinable groupBy(bucket)
-    with a conditional target count; the 4096-row log-ratio table
-    broadcasts back onto the token stream (map-side join); the per-doc
-    sum accumulates DECIMAL(28,12) log-ratio terms — order-independent,
-    so the oracle hash is independent of partial-agg order (the
-    bigram-LM trick). Zero non-broadcast joins; the only shuffles are
-    the bucket count (4096 keys) and the per-doc sum.
+    Spark shape: the corpus is scanned TWICE — a training pass and a
+    scoring pass — but the exploded token stream is never materialized
+    (persisting it at 100 TB would cost more than the map-side re-scan
+    it saves). Training is ONE map-side-combinable groupBy(bucket) with
+    a conditional target count, run once to a reliable checkpoint (the
+    4096-row count table feeds both the totals and the log-ratio table,
+    which would otherwise each re-run the corpus aggregate); the
+    checkpointed log-ratio table broadcasts onto the scoring pass's
+    token stream (map-side join); the per-doc sum accumulates
+    DECIMAL(28,12) log-ratio terms — order-independent, so the oracle
+    hash is independent of partial-agg order (the bigram-LM trick).
+    Zero non-broadcast joins; the only shuffles are the bucket count
+    (4096 keys) and the per-doc sum.
 
     Output: doc_id, n_tokens, log_weight (double, rounded 6dp);
     descending log_weight = most-target-like first.
     """
+    from ..session import ensure_checkpoint_dir
+
     b_expr = F.conv(
         F.substring(F.md5(F.col("w").cast("binary")), 1, DSIR_NIBBLES), 16, 10
     ).cast("bigint")
@@ -699,6 +715,14 @@ def dsir_weights(
         .cast("bigint")
         .alias("c_t"),
     )
+    # counts is consumed by BOTH totals and lr: persist -> reliable
+    # checkpoint of the 4096-row table -> unpersist (repo discipline),
+    # so the corpus-wide training aggregate executes exactly once
+    ensure_checkpoint_dir(docs.sparkSession.sparkContext)
+    counts = counts.persist()
+    counts_ck = counts.checkpoint(eager=True)
+    counts.unpersist()
+    counts = counts_ck
     totals = counts.agg(
         F.sum("c_r").cast("bigint").alias("tot_r"),
         F.sum("c_t").cast("bigint").alias("tot_t"),

@@ -1253,13 +1253,21 @@ def semdedup(
 
     Keep rule (deterministic, order-free): a document is DROPPED iff
     some LOWER-id document in its cluster has cosine ≥ threshold with
-    it. This is the paper's keep-one-per-group rule made order-free and
-    iteration-free: the survivor set is exactly the docs with no
-    smaller-id τ-neighbor, one aggregate. A similarity CHAIN a…b…c
-    (only adjacent pairs cross τ) collapses to its lowest id — b drops
-    because of a, c because of b (a dropped doc still suppresses its
-    own larger-id neighbors) — the same single survivor
-    transitive-closure grouping keeps, without the iteration (tested).
+    it — the survivor set is EXACTLY the docs with no smaller-id
+    τ-neighbor, one aggregate, no iteration. PRECISE guarantee: within
+    any mutually-similar CLIQUE exactly one doc (the minimum id)
+    survives. For a similarity CHAIN the survivor count depends on how
+    ids fall along it: ids ascending along the chain collapse to the
+    lowest id (b drops because of a, c because of b — a dropped doc
+    still suppresses its own larger-id neighbors), but a chain whose
+    interior holds the LARGEST id keeps one doc per flank (e.g. edges
+    0–2 and 1–2 only: both 0 and 1 survive) — so a transitive group
+    may retain more than one near-duplicate (both behaviors tested).
+    This is the standard within-cluster ε-dedup approximation the
+    paper's pairwise pass makes; for strict one-per-transitive-
+    component semantics feed the τ-pair edge list to dedup_components /
+    dedup_components_star (dedup_canonical is that composition for
+    text).
 
     Scale shape: the clustering bounds the self-join — pair volume is
     Σ_c |c|² instead of n²; k grows with the corpus so clusters stay

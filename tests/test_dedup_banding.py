@@ -210,6 +210,30 @@ def test_semdedup_chain_collapses_to_lowest_id(spark):
     assert out["n_similar"].tolist() == [1, 2, 1]
 
 
+def test_semdedup_chain_with_largest_id_interior_keeps_both_flanks(spark):
+    """The PRECISE keep-rule semantics (r6 review finding): when the
+    chain's interior holds the LARGEST id — edges 0–2 and 1–2 only —
+    doc 1's sole τ-neighbor is the larger id 2, so BOTH 0 and 1
+    survive; a transitive group may retain more than one doc. Strict
+    one-per-component is dedup_components on the τ-pair list."""
+    import numpy as np
+
+    from apm_opentelemetry_collector_spark.operators.dedup import semdedup
+
+    def vec(theta):
+        v = np.zeros(64)
+        v[0], v[1] = np.cos(theta), np.sin(theta)
+        return [float(x) for x in v]
+
+    # 0 at 0°, 1 at 60°, 2 at 30°: 0–2 and 1–2 cross τ=0.8, 0–1 does not
+    rows = [(0, vec(0.0)), (1, vec(np.pi / 3)), (2, vec(np.pi / 6))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semdedup(df, threshold=0.8, k=1, iters=1).toPandas().set_index("vec_id")
+    assert bool(out.loc[0, "keep"]) and bool(out.loc[1, "keep"])
+    assert not bool(out.loc[2, "keep"])
+    assert out["n_similar"].tolist() == [1, 1, 2]
+
+
 def test_dedup_canonical_keeps_longest_per_group(spark):
     """Planted near-dup group → exactly one survivor (the longest, ties
     to the smaller id); unrelated docs are singletons and survive."""

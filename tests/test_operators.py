@@ -1013,6 +1013,10 @@ def test_gopher_quality_filters_each_rule_fires(spark):
         (6, good + " " + " ".join(str(n) for n in range(40))),  # alpha frac <= 0.8
         (7, " ".join(["red green blue small large"] * 13)),     # no stop words
         (8, "   "),                                             # empty: fails closed
+        (9, " ".join(["…"] * 10) + " " + good),                 # unicode ellipsis ratio
+        # the published rule is per-symbol: 4 hashes + 4 ellipses in 73
+        # words is ~0.055 EACH — passes, though the pooled 8/73 would not
+        (10, " ".join(["#"] * 4 + ["..."] * 4) + " " + good),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["doc_id"]: r.asDict() for r in gopher_quality(docs).collect()}
@@ -1027,6 +1031,7 @@ def test_gopher_quality_filters_each_rule_fires(spark):
         5: "pass_mean_word_len",
         6: "pass_alpha_words",
         7: "pass_stopwords",
+        9: "pass_symbol_ratio",
     }
     for doc_id, failing in expected_fail.items():
         got_failing = {f for f in flags if not out[doc_id][f]}
@@ -1035,6 +1040,9 @@ def test_gopher_quality_filters_each_rule_fires(spark):
     # empty text: word-count and derived rules fail, nothing passes it in
     assert out[8]["keep"] is False and out[8]["n_words"] == 0
     assert out[8]["mean_word_len"] == 0.0
+    # hash and ellipsis ratios are INDEPENDENT (each < 0.1): ~0.055 each
+    # passes even though the pooled count would cross the threshold
+    assert out[10]["keep"] is True and out[10]["pass_symbol_ratio"] is True
 
 
 def test_c4_line_filters_rules(spark):
