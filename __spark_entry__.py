@@ -1165,6 +1165,22 @@ def q_dsir_weights(spark, sf_dir):
     return textfn.dsir_weights(_load(spark, sf_dir, "documents"))
 
 
+DECONTAM_EVAL_SOURCES = ("src0", "src1")
+
+
+def q_ngram_decontaminate(spark, sf_dir):
+    """Exact 13-gram train/eval decontamination (GPT-3 App. C / PaLM /
+    Llama-2): flag every training doc sharing any word-level 13-gram
+    with the benchmark slices (src0/src1 stand in for the eval sets).
+    md5-keyed gram join, eval side DISTINCT, no forced broadcast."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_decontaminate(docs, DECONTAM_EVAL_SOURCES)
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1333,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filters": q_gopher_quality_filters,
         "c4_line_filters": q_c4_line_filters,
         "dsir_weights": q_dsir_weights,
+        "ngram_decontaminate": q_ngram_decontaminate,
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
@@ -2818,6 +2835,7 @@ WHERE da.source <> db.source""",
             ),
         ),
         "dsir_weights": textfn.dsir_weights_sql(),
+        "ngram_decontaminate": dd.ngram_decontaminate_sql(DECONTAM_EVAL_SOURCES),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

@@ -1370,3 +1370,121 @@ def dedup_canonical(
         "n_chars",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+# Exact n-gram decontamination (GPT-3 App. C / PaLM / Llama-2 style):
+# a training document is contaminated if it shares ANY word-level
+# 13-gram with an eval/benchmark document. 13 is the published GPT-3
+# choice; the constant feeds BOTH engines — never fork.
+DECONTAM_N = 13
+
+
+def ngram_decontaminate(
+    docs: DataFrame,
+    eval_sources: tuple[str, ...],
+    n: int = DECONTAM_N,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact 13-gram train/eval decontamination — the published GPT-3
+    (Brown et al. 2020, App. C) / PaLM / Llama-2 procedure: collect the
+    word-level n-grams of every benchmark document; any training
+    document sharing at least one of them is flagged (the downstream
+    policy — drop the doc, or splice out the spans — consumes this
+    table). Complements cross_source_contamination: that one finds
+    NEAR-dup doc pairs via LSH; this one is the exact-overlap sweep the
+    eval-hygiene papers actually specify, and it catches a single
+    quoted benchmark sentence inside an otherwise-unique document,
+    which whole-doc similarity never will.
+
+    Spark shape (everything JVM-side, one shuffle that matters):
+      * tokenize once — normalized text split on the collapsed single
+        space, identical tokens to the SQL twin's string_split;
+      * per-doc n-grams as a pure higher-order-function fold
+        (transform over sequence + slice + concat_ws) — no posexplode
+        + 12 self-joins, no window sort; docs shorter than n tokens
+        yield no rows;
+      * grams are keyed by md5 of the n-gram text: the join key drops
+        from ~7n bytes of text to a fixed 32-hex digest, the shuffle is
+        uniform by construction, and md5 bit-matches DuckDB so the
+        twin reproduces the join exactly;
+      * eval grams de-dup to DISTINCT (gram, eval_source) — the
+        benchmark side is tiny next to the corpus but still
+        doc-cardinality, so NO forced broadcast (module invariant);
+        AQE picks broadcast when it genuinely fits;
+      * one equi-join + one hash-aggregate: per (train doc, eval
+        source), total matching n-gram occurrences and distinct
+        matched n-grams.
+
+    At 100 TB the train-side gram table is ~|tokens| rows but is
+    consumed by a single join against the (small) eval set — with AQE
+    broadcasting the eval grams the corpus side never shuffles at all;
+    the aggregate shuffles only the surviving hits.
+
+    Output: doc_id, eval_source, n_hits, n_distinct_grams. Only
+    contaminated docs appear (LEFT-join against the corpus upstream to
+    materialize the clean set).
+    """
+    grams_expr = F.expr(
+        "transform(sequence(1, size(l) - {n} + 1), "
+        "i -> md5(cast(concat_ws(' ', slice(l, i, {n})) as binary)))".format(n=n)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"),
+        F.filter(F.split(normalized(text_col), " "), lambda w: w != "").alias("l"),
+    ).filter(F.size("l") >= n)
+    grams = toks.select("id", "src", F.explode(grams_expr).alias("g"))
+    in_eval = F.col("src").isin(list(eval_sources))
+    ev = (
+        grams.filter(in_eval)
+        .select(F.col("g"), F.col("src").alias("eval_source"))
+        .distinct()
+    )
+    tr = grams.filter(~in_eval).select("id", "g")
+    return (
+        tr.join(ev, "g")
+        .groupBy("id", "eval_source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.countDistinct("g").cast("bigint").alias("n_distinct_grams"),
+        )
+        .select(
+            F.col("id").alias(id_col), "eval_source", "n_hits", "n_distinct_grams"
+        )
+    )
+
+
+def ngram_decontaminate_sql(
+    eval_sources: tuple[str, ...],
+    n: int = DECONTAM_N,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of ngram_decontaminate (same normalize/tokenize/
+    md5-gram/join/aggregate op order)."""
+    srcs = ", ".join(f"'{s}'" for s in eval_sources)
+    return f"""
+WITH docs_n AS (
+  SELECT {id_col} AS id, {source_col} AS src,
+         list_filter(string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' '),
+                     w -> w <> '') AS l
+  FROM {table}
+), grams AS (
+  SELECT id, src,
+         md5(array_to_string(list_slice(l, CAST(j AS INTEGER), CAST(j AS INTEGER) + {n - 1}), ' ')) AS g
+  FROM (SELECT id, src, l, unnest(range(1, len(l) - {n} + 2)) AS j
+        FROM docs_n WHERE len(l) >= {n})
+), ev AS (
+  SELECT DISTINCT g, src AS eval_source FROM grams WHERE src IN ({srcs})
+), tr AS (
+  SELECT id, g FROM grams WHERE src NOT IN ({srcs})
+)
+SELECT tr.id AS {id_col}, ev.eval_source,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT tr.g) AS BIGINT) AS n_distinct_grams
+FROM tr JOIN ev USING (g)
+GROUP BY tr.id, ev.eval_source"""

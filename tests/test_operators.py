@@ -1096,3 +1096,41 @@ def test_dsir_weights_rank_target_like_docs(spark):
     assert out[20]["log_weight"] > out[21]["log_weight"] > out[10]["log_weight"]
     # target-vocab docs score identically wherever they live
     assert out[20]["log_weight"] == out[0]["log_weight"]
+
+
+def test_ngram_decontaminate_exact_13gram_boundary(spark):
+    """The published rule is sharp: a 13-token run copied from an eval
+    doc flags the train doc; a 12-token overlap does not. Counts are
+    occurrences (n_hits) and distinct grams; eval docs never appear in
+    the output; a doc quoting TWO eval sources yields one row each."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    ev_a = " ".join(f"a{i}" for i in range(20))  # 20 tokens → 8 13-grams
+    ev_b = " ".join(f"b{i}" for i in range(13))  # exactly one 13-gram
+    quote13_a = " ".join(f"a{i}" for i in range(13))   # first 13-gram of ev_a
+    quote12_a = " ".join(f"a{i}" for i in range(12))   # one token short
+    filler = " ".join(f"x{i}" for i in range(15))
+    rows = [
+        (0, ev_a, "eval0"),
+        (1, ev_b, "eval1"),
+        (10, f"{filler} {quote13_a}", "train"),              # 1 hit on eval0
+        (11, f"{filler} {quote12_a}", "train"),              # clean: 12 < 13
+        (12, f"{quote13_a} end {quote13_a}", "train"),       # same gram twice
+        (13, f"{quote13_a} {filler} {ev_b}", "train"),       # both eval sets
+        (14, filler, "train"),                               # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["doc_id"], r["eval_source"]): r
+        for r in ngram_decontaminate(docs, ("eval0", "eval1")).collect()
+    }
+    assert set(out) == {(10, "eval0"), (12, "eval0"), (13, "eval0"), (13, "eval1")}
+    assert out[(10, "eval0")]["n_hits"] == 1
+    assert out[(10, "eval0")]["n_distinct_grams"] == 1
+    # doc 12 repeats the SAME gram: 2 occurrences, 1 distinct — plus the
+    # bridging grams across " end " match nothing
+    assert out[(12, "eval0")]["n_hits"] == 2
+    assert out[(12, "eval0")]["n_distinct_grams"] == 1
+    assert out[(13, "eval1")]["n_hits"] == 1
