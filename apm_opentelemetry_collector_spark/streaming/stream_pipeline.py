@@ -59,13 +59,19 @@ def stream_transcripts(
 
 
 def _fill_group(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+    track_event_ts: bool = False,
 ) -> Iterator[pd.DataFrame]:
     """Stateful forward fill for one conversation across micro-batches.
 
     State = (last_role, last_tool) seen so far on this conversation's
     stream — exactly the receiver's per-stream Node/Resource memory
-    (octrace/opencensus.go:150-165).
+    (octrace/opencensus.go:150-165). Event-time tracking (max_us) is
+    only needed to arm the event-clock TTL — it costs a per-chunk
+    column conversion, so it stays OFF unless ttl_clock="event" (the
+    no-TTL hot path must not pay for the option it doesn't use).
     """
     last_role, last_tool, max_us = (
         state.get if state.exists else (None, None, 0)
@@ -73,7 +79,7 @@ def _fill_group(
     max_us = int(max_us or 0)
     for pdf in pdfs:
         pdf = pdf.sort_values("turn_idx")
-        if len(pdf):
+        if track_event_ts and len(pdf):
             ts_us = pdf["ts"].astype("int64") // 1000
             max_us = max(max_us, int(ts_us.max()))
         fills = {}
@@ -117,7 +123,7 @@ def forward_fill_stateful(
     def fill(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if _evict_if_timed_out(state, ttl_ms):
             return
-        max_us = yield from _fill_group(key, pdfs, state)
+        max_us = yield from _fill_group(key, pdfs, state, event_ttl)
         _arm_ttl(state, ttl_ms, event_ttl, max_us)
 
     return stream.groupBy("conv_id").applyInPandasWithState(
@@ -246,7 +252,7 @@ def ewma_anomalies(
         max_us = int(max_us or 0)
         for pdf in pdfs:
             pdf = pdf.sort_values("ts")
-            if len(pdf):
+            if event_ttl and len(pdf):
                 max_us = max(
                     max_us, int(pdf["ts"].astype("int64").max() // 1000)
                 )
