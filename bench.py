@@ -110,6 +110,10 @@ def main() -> None:
         "pack_sequences",
         "mixture_weights",
         "dedup_canonical",
+        "gopher_quality_filters",
+        "c4_line_filters",
+        "dsir_weights",
+        "ngram_decontaminate",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike
