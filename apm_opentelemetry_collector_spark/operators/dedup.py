@@ -1386,6 +1386,9 @@ def ngram_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    prefilter: bool = False,
+    bloom_bits: int = 1 << 20,
+    bloom_k: int = 4,
 ) -> DataFrame:
     """Exact 13-gram train/eval decontamination — the published GPT-3
     (Brown et al. 2020, App. C) / PaLM / Llama-2 procedure: collect the
@@ -1425,6 +1428,21 @@ def ngram_decontaminate(
     Output: doc_id, eval_source, n_hits, n_distinct_grams. Only
     contaminated docs appear (LEFT-join against the corpus upstream to
     materialize the clean set).
+
+    prefilter=True inserts the published GPT-3 BLOOM-FILTER stage: the
+    eval grams' k hash bits pack into a single-row bitmap word-map
+    (bloom_bits/64 entries — fixed-size regardless of eval cardinality)
+    that broadcasts once onto the train gram stream; only grams whose k
+    bits are all set reach the exact verify join. Output is
+    BIT-IDENTICAL (false-positive-only filter + the exact join still
+    runs — pytest-enforced), so the DuckDB twin is unchanged and the
+    filter hashes are free to use xxhash64 (no oracle to match). The
+    regime where it wins is a multi-node cluster whose eval set is too
+    big to broadcast as raw gram strings but whose bitmap still fits
+    (bloom_bits is the knob: ~10 bits/eval-gram ≈ 1% FP); on local[32]
+    the exact join already broadcasts the eval side, so the filter's k
+    extra hashes per corpus gram are pure overhead — default OFF,
+    measured in BENCH/BASELINE.md §2h.
     """
     grams_expr = F.expr(
         "transform(sequence(1, size(l) - {n} + 1), "
@@ -1443,6 +1461,41 @@ def ngram_decontaminate(
         .distinct()
     )
     tr = grams.filter(~in_eval).select("id", "g")
+    if prefilter:
+        m, k = bloom_bits, bloom_k
+
+        def _bit_sql(d: int) -> str:
+            return f"pmod(xxhash64({d}, g), {m})"
+
+        bloom_words = (
+            ev.select(
+                F.explode(
+                    F.array(*[F.expr(_bit_sql(d)) for d in range(k)])
+                ).alias("bit")
+            )
+            .distinct()
+            .select(
+                F.floor(F.col("bit") / 64).alias("widx"),
+                F.expr("shiftleft(1L, cast(bit % 64 as int))").alias("_mask"),
+            )
+            .groupBy("widx")
+            .agg(F.expr("bit_or(_mask)").alias("word"))
+        )
+        bloom_map = bloom_words.agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("widx", "word"))
+            ).alias("_bm")
+        )
+        cond = F.lit(True)
+        for d in range(k):
+            b = _bit_sql(d)
+            cond = cond & F.expr(
+                f"(coalesce(element_at(_bm, cast(floor({b} / 64) as bigint)),"
+                f" 0L) & shiftleft(1L, cast({b} % 64 as int))) != 0"
+            )
+        tr = (
+            tr.crossJoin(F.broadcast(bloom_map)).filter(cond).drop("_bm")
+        )
     return (
         tr.join(ev, "g")
         .groupBy("id", "eval_source")

@@ -441,9 +441,15 @@ def _book_arrays(cents: DataFrame, m_subspaces: int) -> list[DataFrame]:
 
 
 def _attach_books(df: DataFrame, books: list[DataFrame]) -> DataFrame:
-    for arr in books:
-        df = df.crossJoin(F.broadcast(arr))
-    return df
+    """Pre-combine the m single-row codebook frames into ONE row, then
+    broadcast once onto the (big) df — m tiny 1×1 crossJoins happen
+    driver-side-cheap, and the corpus side sees a single broadcast
+    instead of m of them (r5 verdict nit: don't let broadcasts grow
+    with m_subspaces)."""
+    combined = books[0]
+    for arr in books[1:]:
+        combined = combined.crossJoin(arr)
+    return df.crossJoin(F.broadcast(combined))
 
 
 def _code_exprs(m_subspaces: int, sub: int, vec: str = "v") -> list[Column]:

@@ -1134,3 +1134,22 @@ def test_ngram_decontaminate_exact_13gram_boundary(spark):
     assert out[(12, "eval0")]["n_hits"] == 2
     assert out[(12, "eval0")]["n_distinct_grams"] == 1
     assert out[(13, "eval1")]["n_hits"] == 1
+
+
+def test_ngram_decontaminate_prefilter_is_output_invariant(spark):
+    """The bloom prefilter is false-positive-only and the exact verify
+    join still runs, so prefilter=True must be bit-identical to the
+    plain path — including at an aggressively small bitmap (high FP
+    rate lets extra grams through; the join must kill them all)."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plain = ngram_decontaminate(docs, ("src0", "src1"))
+    for bits in (1 << 20, 256):  # sane sizing AND a collision-heavy one
+        filtered = ngram_decontaminate(
+            docs, ("src0", "src1"), prefilter=True, bloom_bits=bits
+        )
+        assert filtered.exceptAll(plain).count() == 0
+        assert plain.exceptAll(filtered).count() == 0
