@@ -1181,6 +1181,26 @@ def q_ngram_decontaminate(spark, sf_dir):
     return ngram_decontaminate(docs, DECONTAM_EVAL_SOURCES)
 
 
+SPLICE_TEST_PARAMS = dict(window_chars=40, min_piece_chars=10, max_pieces=10)
+
+
+def q_decontaminate_splice(spark, sf_dir):
+    """GPT-3 App. C removal step: excise a window around every
+    colliding 13-gram, split into pieces, discard short pieces, drop
+    over-fragmented docs. Published 200/200/10 constants are the
+    operator defaults; the driver query scales them to the synthetic
+    docs' ~300-char lengths (the corpus is densely contaminated, so
+    published sizes fully cover every flagged doc → empty result)."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        decontaminate_splice,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    return decontaminate_splice(
+        docs, DECONTAM_EVAL_SOURCES, **SPLICE_TEST_PARAMS
+    )
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1350,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filters": q_c4_line_filters,
         "dsir_weights": q_dsir_weights,
         "ngram_decontaminate": q_ngram_decontaminate,
+        "decontaminate_splice": q_decontaminate_splice,
         # --- new in r5 ------------------------------------------------------
         "repeated_spans": q_repeated_spans,
         "ewma_anomalies": q_ewma_anomalies,
@@ -2836,6 +2857,9 @@ WHERE da.source <> db.source""",
         ),
         "dsir_weights": textfn.dsir_weights_sql(),
         "ngram_decontaminate": dd.ngram_decontaminate_sql(DECONTAM_EVAL_SOURCES),
+        "decontaminate_splice": dd.decontaminate_splice_sql(
+            DECONTAM_EVAL_SOURCES, **SPLICE_TEST_PARAMS
+        ),
         "leakage_safe_split": f"""
 SELECT doc_id, {smp.split_case_sql(g.FINGERPRINT_SQL.format(col='text'))} AS split
 FROM documents""",

@@ -1541,3 +1541,251 @@ SELECT tr.id AS {id_col}, ev.eval_source,
        CAST(count(DISTINCT tr.g) AS BIGINT) AS n_distinct_grams
 FROM tr JOIN ev USING (g)
 GROUP BY tr.id, ev.eval_source"""
+
+
+# GPT-3 App. C splice constants (published): remove a 200-char window
+# centered on each colliding 13-gram, discard resulting pieces shorter
+# than 200 chars, drop documents split into more than 10 pieces. The
+# constants feed BOTH engines — never fork.
+SPLICE_WINDOW = 200
+SPLICE_MIN_PIECE = 200
+SPLICE_MAX_PIECES = 10
+
+
+def decontaminate_splice(
+    docs: DataFrame,
+    eval_sources: tuple[str, ...],
+    n: int = DECONTAM_N,
+    window_chars: int = SPLICE_WINDOW,
+    min_piece_chars: int = SPLICE_MIN_PIECE,
+    max_pieces: int = SPLICE_MAX_PIECES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """The REMOVAL step of the GPT-3 App. C decontamination procedure
+    (the part ngram_decontaminate's flag table feeds): for every
+    colliding n-gram in a training document, remove a window_chars-char
+    window centered on it; the document splits into pieces; pieces
+    shorter than min_piece_chars are discarded; documents split into
+    more than max_pieces pieces are dropped entirely. Operates on the
+    NORMALIZED text (the tokenization domain — same contract as
+    repeated_spans' span text).
+
+    Spark shape — two result-bounded passes after the flag join:
+      * pass 1 is ngram_decontaminate's shape with the gram's TOKEN
+        INDEX carried through the explode (struct(i, md5) built inside
+        the same per-doc higher-order fold — the token array never
+        leaves its row), so a hit is (id, i), a few rows per
+        contaminated doc;
+      * pass 2 joins the hits back to the matched docs ONLY and turns
+        token index into char interval with integer-exact expressions
+        (prefix length via concat_ws over slice), centers the removal
+        window, merges overlapping/adjacent windows per doc
+        (running-max gaps-and-islands — one window sort over the tiny
+        hit set), complements the islands into kept pieces, applies
+        the piece-count and piece-length rules, and substrings the
+        final pieces from the doc text fetched in a result-bounded
+        join (the repeated_spans discipline).
+
+    All interval math is integer (floor-div center, inclusive char
+    ranges), so the DuckDB twin is bit-exact. The removal window is
+    the inclusive range [center - w/2, center + w/2 - 1] clipped to the
+    document, center = gram_start + gram_len // 2. A fully-covered
+    document yields zero pieces (dropped); n_pieces counts non-empty
+    complement segments BEFORE the min-length discard, so the
+    max_pieces rule sees the true fragmentation.
+
+    Output: doc_id, piece_idx (1-based over surviving pieces in doc
+    order), n_pieces, n_chars, piece.
+    """
+    from pyspark.sql import Window
+
+    half = window_chars // 2
+    grams_expr = F.expr(
+        "transform(sequence(1, size(l) - {n} + 1), "
+        "i -> struct(i AS i, md5(cast(concat_ws(' ', slice(l, i, {n})) "
+        "as binary)) AS g))".format(n=n)
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).alias("src"),
+        F.filter(F.split(normalized(text_col), " "), lambda w: w != "").alias("l"),
+    ).filter(F.size("l") >= n)
+    grams = toks.select("id", "src", F.explode(grams_expr).alias("s")).select(
+        "id", "src", F.col("s.i").alias("i"), F.col("s.g").alias("g")
+    )
+    in_eval = F.col("src").isin(list(eval_sources))
+    ev = grams.filter(in_eval).select("g").distinct()
+    hits = (
+        grams.filter(~in_eval).select("id", "i", "g")
+        .join(ev, "g")
+        .select("id", "i")
+        .distinct()
+    )
+    base = toks.filter(~in_eval).select("id", "l")
+    spans = (
+        hits.join(base, "id")
+        .select(
+            "id",
+            F.expr(
+                "if(i = 1, 1, length(concat_ws(' ', slice(l, 1, i - 1))) + 2)"
+            ).alias("cs"),
+            F.expr(f"length(concat_ws(' ', slice(l, i, {n})))").alias("gl"),
+            F.expr("length(concat_ws(' ', l))").alias("doc_len"),
+        )
+        .select(
+            "id",
+            "doc_len",
+            (F.col("cs") + F.floor(F.col("gl") / 2)).alias("center"),
+        )
+        .select(
+            "id",
+            "doc_len",
+            F.greatest(F.lit(1), F.col("center") - half).alias("rm_lo"),
+            F.least(F.col("doc_len"), F.col("center") + half - 1).alias("rm_hi"),
+        )
+    )
+    w_ord = Window.partitionBy("id").orderBy("rm_lo", "rm_hi")
+    prev_max = F.max("rm_hi").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = spans.select(
+        "id",
+        "doc_len",
+        "rm_lo",
+        "rm_hi",
+        F.when(prev_max.isNull() | (F.col("rm_lo") > prev_max + 1), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).select(
+        "id",
+        "doc_len",
+        "rm_lo",
+        "rm_hi",
+        F.sum("_new").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("isl"),
+    )
+    islands = marked.groupBy("id", "isl").agg(
+        F.min("rm_lo").alias("s"),
+        F.max("rm_hi").alias("e"),
+        F.first("doc_len").alias("doc_len"),
+    )
+    w2 = Window.partitionBy("id").orderBy("s")
+    gaps = islands.select(
+        "id",
+        F.coalesce(F.lag("e").over(w2) + 1, F.lit(1)).alias("lo"),
+        (F.col("s") - 1).alias("hi"),
+    )
+    tails = islands.groupBy("id").agg(
+        (F.max("e") + 1).alias("lo"), F.max("doc_len").alias("hi")
+    )
+    pieces = gaps.unionByName(tails).filter(F.col("hi") >= F.col("lo"))
+    w_id = Window.partitionBy("id")
+    kept = (
+        pieces.select(
+            "id", "lo", "hi", F.count("*").over(w_id).alias("n_pieces")
+        )
+        .filter(
+            (F.col("n_pieces") <= max_pieces)
+            & (F.col("hi") - F.col("lo") + 1 >= min_piece_chars)
+        )
+    )
+    dtext = base.select("id", F.concat_ws(" ", "l").alias("_norm"))
+    w_piece = Window.partitionBy("id").orderBy("lo")
+    return (
+        kept.join(dtext, "id")
+        .select(
+            F.col("id").alias(id_col),
+            F.row_number().over(w_piece).alias("piece_idx"),
+            F.col("n_pieces").cast("bigint").alias("n_pieces"),
+            (F.col("hi") - F.col("lo") + 1).cast("bigint").alias("n_chars"),
+            F.expr("substring(_norm, lo, hi - lo + 1)").alias("piece"),
+        )
+    )
+
+
+def decontaminate_splice_sql(
+    eval_sources: tuple[str, ...],
+    n: int = DECONTAM_N,
+    window_chars: int = SPLICE_WINDOW,
+    min_piece_chars: int = SPLICE_MIN_PIECE,
+    max_pieces: int = SPLICE_MAX_PIECES,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of decontaminate_splice (same tokenize/md5-gram/
+    interval/island/piece integer math, identical window order)."""
+    srcs = ", ".join(f"'{s}'" for s in eval_sources)
+    half = window_chars // 2
+    return f"""
+WITH docs_n AS (
+  SELECT {id_col} AS id, {source_col} AS src,
+         list_filter(string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' '),
+                     w -> w <> '') AS l
+  FROM {table}
+), toks AS (
+  SELECT * FROM docs_n WHERE len(l) >= {n}
+), grams AS (
+  SELECT id, src, CAST(j AS INTEGER) AS i,
+         md5(array_to_string(list_slice(l, CAST(j AS INTEGER), CAST(j AS INTEGER) + {n - 1}), ' ')) AS g
+  FROM (SELECT id, src, l, unnest(range(1, len(l) - {n} + 2)) AS j FROM toks)
+), ev AS (
+  SELECT DISTINCT g FROM grams WHERE src IN ({srcs})
+), hits AS (
+  SELECT DISTINCT t.id, t.i
+  FROM (SELECT id, i, g FROM grams WHERE src NOT IN ({srcs})) t
+  JOIN ev USING (g)
+), spans0 AS (
+  SELECT h.id,
+         CASE WHEN h.i = 1 THEN 1
+              ELSE length(array_to_string(b.l[1:h.i - 1], ' ')) + 2 END AS cs,
+         length(array_to_string(list_slice(b.l, h.i, h.i + {n - 1}), ' ')) AS gl,
+         length(array_to_string(b.l, ' ')) AS doc_len
+  FROM hits h JOIN (SELECT id, l FROM toks WHERE src NOT IN ({srcs})) b USING (id)
+), spans AS (
+  SELECT id, doc_len,
+         greatest(1, cs + gl // 2 - {half}) AS rm_lo,
+         least(doc_len, cs + gl // 2 + {half} - 1) AS rm_hi
+  FROM spans0
+), marked AS (
+  SELECT id, doc_len, rm_lo, rm_hi,
+         CASE WHEN max(rm_hi) OVER (PARTITION BY id ORDER BY rm_lo, rm_hi
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR rm_lo > max(rm_hi) OVER (PARTITION BY id ORDER BY rm_lo, rm_hi
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+              THEN 1 ELSE 0 END AS _new
+  FROM spans
+), numbered AS (
+  SELECT id, doc_len, rm_lo, rm_hi,
+         sum(_new) OVER (PARTITION BY id ORDER BY rm_lo, rm_hi
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+  FROM marked
+), islands AS (
+  SELECT id, isl, min(rm_lo) AS s, max(rm_hi) AS e, max(doc_len) AS doc_len
+  FROM numbered GROUP BY id, isl
+), gaps AS (
+  SELECT id,
+         coalesce(lag(e) OVER (PARTITION BY id ORDER BY s) + 1, 1) AS lo,
+         s - 1 AS hi
+  FROM islands
+), tails AS (
+  SELECT id, max(e) + 1 AS lo, max(doc_len) AS hi FROM islands GROUP BY id
+), pieces AS (
+  SELECT id, lo, hi FROM gaps WHERE hi >= lo
+  UNION ALL
+  SELECT id, lo, hi FROM tails WHERE hi >= lo
+), kept AS (
+  SELECT id, lo, hi, count(*) OVER (PARTITION BY id) AS n_pieces
+  FROM pieces
+), final AS (
+  SELECT id, lo, hi, n_pieces FROM kept
+  WHERE n_pieces <= {max_pieces} AND hi - lo + 1 >= {min_piece_chars}
+)
+SELECT f.id AS {id_col},
+       CAST(row_number() OVER (PARTITION BY f.id ORDER BY f.lo) AS INTEGER) AS piece_idx,
+       CAST(f.n_pieces AS BIGINT) AS n_pieces,
+       CAST(f.hi - f.lo + 1 AS BIGINT) AS n_chars,
+       substr(array_to_string(b.l, ' '), CAST(f.lo AS INTEGER), CAST(f.hi - f.lo + 1 AS INTEGER)) AS piece
+FROM final f JOIN toks b USING (id)"""

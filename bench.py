@@ -114,6 +114,7 @@ def main() -> None:
         "c4_line_filters",
         "dsir_weights",
         "ngram_decontaminate",
+        "decontaminate_splice",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -1153,3 +1153,41 @@ def test_ngram_decontaminate_prefilter_is_output_invariant(spark):
         )
         assert filtered.exceptAll(plain).count() == 0
         assert plain.exceptAll(filtered).count() == 0
+
+
+def test_decontaminate_splice_gpt3_rules(spark):
+    """GPT-3 App. C removal semantics: the window is centered on the
+    colliding gram and excised (no surviving piece contains it), short
+    pieces are discarded, over-fragmented docs are dropped entirely,
+    and fully-covered docs yield no pieces."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        decontaminate_splice,
+    )
+
+    quote = " ".join(f"q{i}" for i in range(13))          # the eval 13-gram
+    pad = lambda tag, k: " ".join(f"{tag}{i}" for i in range(k))
+    rows = [
+        (0, quote, "eval"),
+        # long flanks: one excision → two long pieces, neither holding the quote
+        (10, f"{pad('a', 40)} {quote} {pad('b', 40)}", "train"),
+        # the quote IS the doc (plus a hair): fully covered → zero pieces
+        (11, f"x {quote}", "train"),
+        # quote repeated with long gaps → many pieces; max_pieces=2 drops it
+        (12, f"{pad('c', 40)} {quote} {pad('d', 40)} {quote} {pad('e', 40)}", "train"),
+        (13, pad("f", 100), "train"),                     # clean, absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = decontaminate_splice(
+        docs, ("eval",), window_chars=60, min_piece_chars=30, max_pieces=2
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 10: survives with 2 pieces, quote text gone from both
+    assert sorted(by_doc) == [10]
+    p10 = sorted(by_doc[10], key=lambda r: r["piece_idx"])
+    assert [r["n_pieces"] for r in p10] == [2, 2]
+    assert all("q0" not in r["piece"] and "q12" not in r["piece"] for r in p10)
+    assert all(r["n_chars"] >= 30 for r in p10)
+    # doc 12 fragments into 3 pieces > max_pieces=2 → dropped (absent);
+    # doc 11 fully covered → absent; doc 13 clean → absent

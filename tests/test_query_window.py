@@ -39,6 +39,7 @@ MUST_BE_IN_WINDOW = {
     "dedup_canonical",
     "gopher_quality_filters",
     "ngram_decontaminate",
+    "decontaminate_splice",
     "c4_line_filters",
     "dsir_weights",
 }
