@@ -1127,6 +1127,40 @@ def q_gopher_quality_filters(spark, sf_dir):
     return textfn.gopher_quality(_load(spark, sf_dir, "documents"))
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Published Gopher REPETITION heuristics (Rae et al. 2021, App.
+    A1.2) — the companion to the A1.1 quality rules: duplicate line /
+    paragraph fractions (by count and by char mass), most-frequent
+    2/3/4-gram char fraction, duplicated 5..10-gram char coverage.
+    The corpus is single-line token soup, so the query fabricates a
+    deterministic 4-line / 2-paragraph doc per row (the c4_line_filters
+    construction pattern): full text; a doc_id-modulated leading slice;
+    that slice again when doc_id%3==0 (duplicate line) else a middle
+    slice; then a paragraph break and the WHOLE text again when
+    doc_id%4==0 (duplicated n-grams) else the middle slice. Same
+    construction in the oracle pre-CTE; rules stay the published
+    constants. Zero shuffles — every rule is doc-local HOF folds."""
+    did = F.col("doc_id")
+    w = F.split(F.col("text"), " ")
+    slice_b = F.array_join(F.slice(w, F.lit(1), (did % 7 + 1).cast("int")), " ")
+    slice_c = F.array_join(F.slice(w, F.lit(3), (did % 5 + 2).cast("int")), " ")
+    line3 = F.when(did % 3 == 0, slice_b).otherwise(slice_c)
+    tail = F.when(did % 4 == 0, F.col("text")).otherwise(slice_c)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n"),
+            slice_b,
+            F.lit("\n"),
+            line3,
+            F.lit("\n\n"),
+            tail,
+        ).alias("text"),
+    )
+    return textfn.gopher_repetition(docs)
+
+
 def q_c4_line_filters(spark, sf_dir):
     """Published C4 line-level cleaning rules (Raffel et al. 2020 §2.2)
     over deterministically "lined" documents: the corpus is single-line
@@ -1367,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_knn": q_ivfpq_knn,
         "semdedup": q_semdedup,
         "gopher_quality_filters": q_gopher_quality_filters,
+        "gopher_repetition": q_gopher_repetition,
         "c4_line_filters": q_c4_line_filters,
         "dsir_weights": q_dsir_weights,
         "ngram_decontaminate": q_ngram_decontaminate,
@@ -2844,6 +2879,23 @@ WHERE da.source <> db.source""",
         "semdedup": _semdedup_sql(),
         "bigram_lm_scores": textfn.bigram_lm_scores_sql(),
         "gopher_quality_filters": textfn.gopher_quality_sql(),
+        "gopher_repetition": textfn.gopher_repetition_sql(
+            table="lined",
+            pre_cte=(
+                "lined AS (SELECT doc_id, text || chr(10) ||"
+                " array_to_string(string_split(text, ' ')"
+                "[1:CAST(doc_id % 7 AS INTEGER) + 1], ' ') || chr(10) ||"
+                " CASE WHEN doc_id % 3 = 0 THEN array_to_string("
+                "string_split(text, ' ')[1:CAST(doc_id % 7 AS INTEGER) + 1], ' ')"
+                " ELSE array_to_string(string_split(text, ' ')"
+                "[3:CAST(doc_id % 5 AS INTEGER) + 4], ' ') END"
+                " || chr(10) || chr(10) ||"
+                " CASE WHEN doc_id % 4 = 0 THEN text"
+                " ELSE array_to_string(string_split(text, ' ')"
+                "[3:CAST(doc_id % 5 AS INTEGER) + 4], ' ') END AS text"
+                " FROM documents)"
+            ),
+        ),
         "c4_line_filters": textfn.c4_line_filters_sql(
             table="lined",
             pre_cte=(

@@ -785,3 +785,444 @@ SELECT id AS {id_col}, CAST(count(*) AS BIGINT) AS n_tokens,
        round(CAST(sum(lr) AS DOUBLE), 6) AS log_weight
 FROM toks JOIN lr USING (b)
 GROUP BY id"""
+
+
+# --- Gopher repetition rules (Rae et al. 2021, App. A1.2) ---------------------
+# The companion suite to gopher_quality's A1.1 heuristics: drop documents
+# dominated by REPETITION — duplicate lines/paragraphs (by count and by
+# character mass) and repeated word n-grams (most-frequent-n-gram char
+# fraction for n=2..4, duplicated-n-gram char coverage for n=5..10).
+# Published thresholds, stored as (A, B) integer pairs meaning
+# keep iff A*numerator <= B*denominator  (threshold = B/A), so every
+# boolean is integer cross-multiplication — bit-exact across engines.
+# Frozen definitions (published implementations vary; these feed BOTH
+# engines — single source of truth, never fork):
+#   * lines = split(text, '\n'); paragraphs = split(text, '\n\n');
+#   * a duplicate is an occurrence BEYOND THE FIRST of an identical
+#     string; dup char mass = total chars - chars of the distinct set;
+#     count fractions are over n_lines / n_paras, char fractions over
+#     length(text);
+#   * n-grams are single-space joins of n consecutive whitespace
+#     tokens of the NORMALIZED (lowercased, ws-collapsed) text; gram
+#     char fractions are over the normalized text length;
+#   * top n-gram = max occurrence count, ties to the lexicographically
+#     smallest gram; its char mass = count * length(gram);
+#   * dup n-gram coverage = chars of the normalized text covered by
+#     occurrences of any n-gram occurring >= 2 times, with overlapping
+#     TOKEN runs merged (adjacent-but-disjoint runs stay separate, so
+#     the uncovered inter-run space is never counted).
+GOPHER_REP_DUP_LINE = (10, 3)  # dup line frac        <= 0.30
+GOPHER_REP_DUP_PARA = (10, 3)  # dup paragraph frac   <= 0.30
+GOPHER_REP_DUP_LINE_CHAR = (5, 1)  # dup line char frac   <= 0.20
+GOPHER_REP_DUP_PARA_CHAR = (5, 1)  # dup para char frac   <= 0.20
+GOPHER_REP_TOP_NGRAM = {2: (5, 1), 3: (50, 9), 4: (25, 4)}  # .20/.18/.16
+GOPHER_REP_DUP_NGRAM = {
+    5: (20, 3),  # 0.15
+    6: (50, 7),  # 0.14
+    7: (100, 13),  # 0.13
+    8: (25, 3),  # 0.12
+    9: (100, 11),  # 0.11
+    10: (10, 1),  # 0.10
+}
+
+
+def _rep_grams(toks, n: int) -> Column:
+    """Sorted array of single-space-joined n-grams (empty if < n tokens)."""
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda j: F.array_join(F.slice(toks, j, n), " "),
+    )
+    return F.array_sort(
+        F.when(F.size(toks) >= n, g).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def _rep_gram_structs(toks, n: int) -> Column:
+    """Sorted array of (gram, start-token-index) structs (g first, so
+    array_sort groups equal grams; empty if < n tokens)."""
+    g = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda j: F.struct(
+            F.array_join(F.slice(toks, j, n), " ").alias("g"), j.alias("j")
+        ),
+    )
+    return F.array_sort(
+        F.when(F.size(toks) >= n, g).otherwise(
+            F.array().cast("array<struct<g:string,j:int>>")
+        )
+    )
+
+
+def _rep_top_run(sorted_grams) -> Column:
+    """(best_cnt, best_key) of the most frequent gram in a SORTED gram
+    array — one linear fold over adjacent runs; strictly-greater update
+    means ties resolve to the lexicographically smallest gram (the SQL
+    twin's ORDER BY cnt DESC, g ASC)."""
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best_cnt"),
+        F.lit("").alias("best_key"),
+    )
+
+    def step(acc, x):
+        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        better = run2 > acc["best_cnt"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(acc["best_cnt"]).alias("best_cnt"),
+            F.when(better, x).otherwise(acc["best_key"]).alias("best_key"),
+        )
+
+    return F.aggregate(sorted_grams, zero, step)
+
+
+def _rep_dup_starts(s) -> Column:
+    """Ascending start indices of grams occurring >= 2 times, read off a
+    (g, j)-sorted struct array by neighbor equality (the run-length
+    signal — no per-element rescan of the array)."""
+    sz = F.size(s)
+    flagged = F.transform(
+        s,
+        lambda x, i: F.struct(
+            x["j"].alias("j"),
+            (
+                F.when(i > 0, F.element_at(s, i)["g"] == x["g"]).otherwise(
+                    F.lit(False)
+                )
+                | F.when(
+                    i < sz - 1, F.element_at(s, i + 2)["g"] == x["g"]
+                ).otherwise(F.lit(False))
+            ).alias("d"),
+        ),
+    )
+    return F.array_sort(
+        F.transform(F.filter(flagged, lambda x: x["d"]), lambda x: x["j"])
+    )
+
+
+def _rep_dup_cover(dj, toks, n: int) -> Column:
+    """Chars of the normalized text covered by duplicated n-grams:
+    fold over ascending start indices merging token-OVERLAPPING runs
+    (j <= current run end; ce=0 is the no-open-run sentinel since token
+    indices are 1-based), charging each closed run its exact joined
+    length. Integer-exact; O(total run tokens) slice work per doc."""
+
+    def runchars(a, b):
+        return F.length(F.array_join(F.slice(toks, a, b - a + 1), " ")).cast(
+            "bigint"
+        )
+
+    zero = F.struct(
+        F.lit(0).cast("bigint").alias("cov"),
+        F.lit(0).alias("cs"),
+        F.lit(0).alias("ce"),
+    )
+
+    def step(acc, j):
+        eo = j + (n - 1)
+        no_open = acc["ce"] == 0
+        overlap = (~no_open) & (j <= acc["ce"])
+        return F.struct(
+            F.when(no_open | overlap, acc["cov"])
+            .otherwise(acc["cov"] + runchars(acc["cs"], acc["ce"]))
+            .alias("cov"),
+            F.when(overlap, acc["cs"]).otherwise(j).alias("cs"),
+            F.when(overlap, F.greatest(acc["ce"], eo)).otherwise(eo).alias("ce"),
+        )
+
+    return F.aggregate(
+        dj,
+        zero,
+        step,
+        lambda acc: F.when(acc["ce"] == 0, acc["cov"]).otherwise(
+            acc["cov"] + runchars(acc["cs"], acc["ce"])
+        ),
+    )
+
+
+def _arr_chars(arr) -> Column:
+    return F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+    )
+
+
+def gopher_repetition(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
+    """Per-document Gopher repetition metrics + per-rule booleans + keep.
+
+    100 TB shape: every rule is document-LOCAL, so the whole suite is a
+    zero-shuffle projection chain over one pruned corpus scan — JVM
+    higher-order functions only (array_sort + linear folds; the top-gram
+    count is a run-length fold over a sorted gram array, the dup-gram
+    coverage an interval-merge fold over sorted duplicate starts). The
+    per-doc cost is O(G log G) for the 9 gram sorts; nothing leaves its
+    row. Booleans are integer cross-multiplication (bit-exact vs the
+    DuckDB twin); the reported fractions are exact int/int doubles.
+    """
+    c = F.col(text_col)
+    keep_ids = list(id_cols)
+    base = df.select(
+        *keep_ids,
+        F.length(c).cast("bigint").alias("_text_len"),
+        F.split(c, "\n").alias("_lines"),
+        F.split(c, "\n\n").alias("_paras"),
+        F.filter(F.split(normalized(c), " "), lambda w: w != "").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    stage2 = base.select(
+        *keep_ids,
+        "_text_len",
+        "_lines",
+        "_paras",
+        "_toks",
+        F.length(F.array_join(toks, " ")).cast("bigint").alias("_norm_len"),
+        *[_rep_grams(toks, n).alias(f"_g{n}") for n in GOPHER_REP_TOP_NGRAM],
+        *[
+            _rep_gram_structs(toks, n).alias(f"_s{n}")
+            for n in GOPHER_REP_DUP_NGRAM
+        ],
+    )
+    stage3 = stage2.select(
+        *keep_ids,
+        "_text_len",
+        "_lines",
+        "_paras",
+        "_toks",
+        "_norm_len",
+        *[
+            _rep_top_run(F.col(f"_g{n}")).alias(f"_t{n}")
+            for n in GOPHER_REP_TOP_NGRAM
+        ],
+        *[
+            _rep_dup_starts(F.col(f"_s{n}")).alias(f"_dj{n}")
+            for n in GOPHER_REP_DUP_NGRAM
+        ],
+    )
+    lines, paras = F.col("_lines"), F.col("_paras")
+    stage4 = stage3.select(
+        *keep_ids,
+        "_text_len",
+        "_norm_len",
+        F.size(lines).cast("bigint").alias("_n_lines"),
+        F.size(paras).cast("bigint").alias("_n_paras"),
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        .cast("bigint")
+        .alias("_dup_lines"),
+        (F.size(paras) - F.size(F.array_distinct(paras)))
+        .cast("bigint")
+        .alias("_dup_paras"),
+        (_arr_chars(lines) - _arr_chars(F.array_distinct(lines))).alias(
+            "_dup_line_chars"
+        ),
+        (_arr_chars(paras) - _arr_chars(F.array_distinct(paras))).alias(
+            "_dup_para_chars"
+        ),
+        *[
+            (
+                F.col(f"_t{n}")["best_cnt"]
+                * F.length(F.col(f"_t{n}")["best_key"])
+            )
+            .cast("bigint")
+            .alias(f"_tc{n}")
+            for n in GOPHER_REP_TOP_NGRAM
+        ],
+        *[
+            _rep_dup_cover(F.col(f"_dj{n}"), F.col("_toks"), n).alias(f"_dc{n}")
+            for n in GOPHER_REP_DUP_NGRAM
+        ],
+    )
+
+    def safe(d):
+        return F.when(d > 0, d).otherwise(F.lit(1))
+
+    tl, nl = F.col("_text_len"), F.col("_norm_len")
+    n_lines, n_paras = F.col("_n_lines"), F.col("_n_paras")
+    passes = {
+        "pass_dup_lines": GOPHER_REP_DUP_LINE[0] * F.col("_dup_lines")
+        <= GOPHER_REP_DUP_LINE[1] * n_lines,
+        "pass_dup_line_chars": GOPHER_REP_DUP_LINE_CHAR[0]
+        * F.col("_dup_line_chars")
+        <= GOPHER_REP_DUP_LINE_CHAR[1] * tl,
+        "pass_dup_paras": GOPHER_REP_DUP_PARA[0] * F.col("_dup_paras")
+        <= GOPHER_REP_DUP_PARA[1] * n_paras,
+        "pass_dup_para_chars": GOPHER_REP_DUP_PARA_CHAR[0]
+        * F.col("_dup_para_chars")
+        <= GOPHER_REP_DUP_PARA_CHAR[1] * tl,
+        **{
+            f"pass_top_{n}gram": a * F.col(f"_tc{n}") <= b * nl
+            for n, (a, b) in GOPHER_REP_TOP_NGRAM.items()
+        },
+        **{
+            f"pass_dup_{n}gram": a * F.col(f"_dc{n}") <= b * nl
+            for n, (a, b) in GOPHER_REP_DUP_NGRAM.items()
+        },
+    }
+    keep = None
+    for bcol in passes.values():
+        keep = bcol if keep is None else (keep & bcol)
+    return stage4.select(
+        *keep_ids,
+        n_lines.alias("n_lines"),
+        n_paras.alias("n_paras"),
+        (F.col("_dup_lines") / safe(n_lines)).alias("dup_line_frac"),
+        (F.col("_dup_line_chars") / safe(tl)).alias("dup_line_char_frac"),
+        (F.col("_dup_paras") / safe(n_paras)).alias("dup_para_frac"),
+        (F.col("_dup_para_chars") / safe(tl)).alias("dup_para_char_frac"),
+        *[
+            (F.col(f"_tc{n}") / safe(nl)).alias(f"top_{n}gram_char_frac")
+            for n in GOPHER_REP_TOP_NGRAM
+        ],
+        *[
+            (F.col(f"_dc{n}") / safe(nl)).alias(f"dup_{n}gram_char_frac")
+            for n in GOPHER_REP_DUP_NGRAM
+        ],
+        *[expr.alias(name) for name, expr in passes.items()],
+        keep.alias("keep"),
+    )
+
+
+def gopher_repetition_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    col: str = "text",
+    pre_cte: str | None = None,
+) -> str:
+    """DuckDB twin of gopher_repetition — rendered from the SAME
+    constants and frozen definitions (duplicates-beyond-first, top-gram
+    ties to the smallest gram, overlap-only token-run merging), so the
+    integer char masses and cross-multiplied booleans are bit-exact.
+    `pre_cte` prepends an input-shaping CTE (the c4_line_filters_sql
+    pattern)."""
+    pre = f"{pre_cte}, " if pre_cte else ""
+    top_ns = ", ".join(f"({n})" for n in GOPHER_REP_TOP_NGRAM)
+    dup_ns = ", ".join(f"({n})" for n in GOPHER_REP_DUP_NGRAM)
+    tc_piv = ",\n         ".join(
+        f"CAST(coalesce(sum(CASE WHEN n = {n} THEN top_chars END), 0) AS BIGINT) AS tc{n}"
+        for n in GOPHER_REP_TOP_NGRAM
+    )
+    dc_piv = ",\n         ".join(
+        f"CAST(coalesce(sum(CASE WHEN n = {n} THEN chars END), 0) AS BIGINT) AS dc{n}"
+        for n in GOPHER_REP_DUP_NGRAM
+    )
+    conds = {
+        "pass_dup_lines": (
+            f"({GOPHER_REP_DUP_LINE[0]} * dup_lines"
+            f" <= {GOPHER_REP_DUP_LINE[1]} * n_lines)"
+        ),
+        "pass_dup_line_chars": (
+            f"({GOPHER_REP_DUP_LINE_CHAR[0]} * dup_line_chars"
+            f" <= {GOPHER_REP_DUP_LINE_CHAR[1]} * text_len)"
+        ),
+        "pass_dup_paras": (
+            f"({GOPHER_REP_DUP_PARA[0]} * dup_paras"
+            f" <= {GOPHER_REP_DUP_PARA[1]} * n_paras)"
+        ),
+        "pass_dup_para_chars": (
+            f"({GOPHER_REP_DUP_PARA_CHAR[0]} * dup_para_chars"
+            f" <= {GOPHER_REP_DUP_PARA_CHAR[1]} * text_len)"
+        ),
+        **{
+            f"pass_top_{n}gram": f"({a} * tc{n} <= {b} * norm_len)"
+            for n, (a, b) in GOPHER_REP_TOP_NGRAM.items()
+        },
+        **{
+            f"pass_dup_{n}gram": f"({a} * dc{n} <= {b} * norm_len)"
+            for n, (a, b) in GOPHER_REP_DUP_NGRAM.items()
+        },
+    }
+    pass_cols = ",\n  ".join(f"{cond} AS {name}" for name, cond in conds.items())
+    keep = " AND ".join(conds.values())
+    tfrac = ",\n  ".join(
+        f"tc{n} / (CASE WHEN norm_len > 0 THEN norm_len ELSE 1 END)"
+        f" AS top_{n}gram_char_frac"
+        for n in GOPHER_REP_TOP_NGRAM
+    )
+    dfrac = ",\n  ".join(
+        f"dc{n} / (CASE WHEN norm_len > 0 THEN norm_len ELSE 1 END)"
+        f" AS dup_{n}gram_char_frac"
+        for n in GOPHER_REP_DUP_NGRAM
+    )
+    return f"""
+WITH {pre}base AS (
+  SELECT {id_col} AS id,
+         CAST(length({col}) AS BIGINT) AS text_len,
+         string_split({col}, chr(10)) AS lines,
+         string_split({col}, chr(10) || chr(10)) AS paras,
+         list_filter(string_split(trim(regexp_replace(lower({col}), '\\s+', ' ', 'g')), ' '),
+                     w -> w <> '') AS l
+  FROM {table}
+), m AS (
+  SELECT id, text_len,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(len(paras) AS BIGINT) AS n_paras,
+         CAST(len(lines) - len(list_distinct(lines)) AS BIGINT) AS dup_lines,
+         CAST(len(paras) - len(list_distinct(paras)) AS BIGINT) AS dup_paras,
+         CAST(coalesce(list_sum(list_transform(lines, x -> length(x))), 0)
+            - coalesce(list_sum(list_transform(list_distinct(lines), x -> length(x))), 0) AS BIGINT) AS dup_line_chars,
+         CAST(coalesce(list_sum(list_transform(paras, x -> length(x))), 0)
+            - coalesce(list_sum(list_transform(list_distinct(paras), x -> length(x))), 0) AS BIGINT) AS dup_para_chars,
+         CAST(length(array_to_string(l, ' ')) AS BIGINT) AS norm_len
+  FROM base
+), tg AS (
+  SELECT id, n, array_to_string(list_slice(l, CAST(j AS INTEGER), CAST(j AS INTEGER) + n - 1), ' ') AS g
+  FROM (SELECT id, l, n, unnest(range(1, len(l) - n + 2)) AS j
+        FROM base CROSS JOIN (VALUES {top_ns}) ns(n) WHERE len(l) >= n)
+), tg_cnt AS (
+  SELECT id, n, g, CAST(count(*) AS BIGINT) AS cnt FROM tg GROUP BY id, n, g
+), tg_best AS (
+  SELECT id, n, CAST(cnt * length(g) AS BIGINT) AS top_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY id, n ORDER BY cnt DESC, g ASC) AS rn
+        FROM tg_cnt)
+  WHERE rn = 1
+), top_piv AS (
+  SELECT id, {tc_piv}
+  FROM tg_best GROUP BY id
+), dg AS (
+  SELECT id, n, CAST(j AS INTEGER) AS j,
+         array_to_string(list_slice(l, CAST(j AS INTEGER), CAST(j AS INTEGER) + n - 1), ' ') AS g
+  FROM (SELECT id, l, n, unnest(range(1, len(l) - n + 2)) AS j
+        FROM base CROSS JOIN (VALUES {dup_ns}) ns(n) WHERE len(l) >= n)
+), dups AS (
+  SELECT id, n, j, j + n - 1 AS eo
+  FROM (SELECT *, count(*) OVER (PARTITION BY id, n, g) AS cnt FROM dg)
+  WHERE cnt > 1
+), marked AS (
+  SELECT id, n, j, eo,
+         CASE WHEN max(eo) OVER w IS NULL OR j > max(eo) OVER w THEN 1 ELSE 0 END AS brk
+  FROM dups
+  WINDOW w AS (PARTITION BY id, n ORDER BY j
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl AS (
+  SELECT id, n, j, eo,
+         sum(brk) OVER (PARTITION BY id, n ORDER BY j
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS k
+  FROM marked
+), runs AS (
+  SELECT id, n, min(j) AS s, max(eo) AS e FROM isl GROUP BY id, n, k
+), run_chars AS (
+  SELECT r.id, r.n,
+         CAST(length(array_to_string(list_slice(b.l, r.s, r.e), ' ')) AS BIGINT) AS chars
+  FROM runs r JOIN base b ON r.id = b.id
+), dup_piv AS (
+  SELECT id, {dc_piv}
+  FROM run_chars GROUP BY id
+), j AS (
+  SELECT m.*,
+         {", ".join(f"coalesce(tc{n}, 0) AS tc{n}" for n in GOPHER_REP_TOP_NGRAM)},
+         {", ".join(f"coalesce(dc{n}, 0) AS dc{n}" for n in GOPHER_REP_DUP_NGRAM)}
+  FROM m LEFT JOIN top_piv ON m.id = top_piv.id
+         LEFT JOIN dup_piv ON m.id = dup_piv.id
+)
+SELECT id AS {id_col}, n_lines, n_paras,
+  dup_lines / (CASE WHEN n_lines > 0 THEN n_lines ELSE 1 END) AS dup_line_frac,
+  dup_line_chars / (CASE WHEN text_len > 0 THEN text_len ELSE 1 END) AS dup_line_char_frac,
+  dup_paras / (CASE WHEN n_paras > 0 THEN n_paras ELSE 1 END) AS dup_para_frac,
+  dup_para_chars / (CASE WHEN text_len > 0 THEN text_len ELSE 1 END) AS dup_para_char_frac,
+  {tfrac},
+  {dfrac},
+  {pass_cols},
+  ({keep}) AS keep
+FROM j"""

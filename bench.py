@@ -111,6 +111,7 @@ def main() -> None:
         "mixture_weights",
         "dedup_canonical",
         "gopher_quality_filters",
+        "gopher_repetition",
         "c4_line_filters",
         "dsir_weights",
         "ngram_decontaminate",

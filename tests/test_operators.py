@@ -1045,6 +1045,63 @@ def test_gopher_quality_filters_each_rule_fires(spark):
     assert out[10]["keep"] is True and out[10]["pass_symbol_ratio"] is True
 
 
+def test_gopher_repetition_rules(spark):
+    """Crafted fixtures for the A1.2 repetition suite: duplicate lines /
+    paragraphs, top-n-gram dominance with the smallest-gram tie-break,
+    duplicated-n-gram coverage with overlap merge vs separate runs, and
+    the vacuous pass on empty text."""
+    from apm_opentelemetry_collector_spark.functions.text import (
+        gopher_repetition,
+    )
+
+    # all-distinct words, long enough that a count-1 "top" n-gram is a
+    # small char fraction (the published thresholds assume real docs)
+    clean = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four five "
+        "six seven eight nine ten eleven twelve thirteen fourteen"
+    )
+    rows = [
+        (0, clean),
+        # 10 identical lines: dup_line_frac = 0.9 > 0.3, char frac ~0.9
+        (1, "\n".join(["same line here"] * 10)),
+        # duplicate paragraph (and the 3-line view has 1 dup of 3)
+        (2, "para one here\n\npara one here"),
+        # dominant 2-gram: "x y" x3 of 5 grams -> 9/11 chars > 0.2
+        (3, "x y x y x y"),
+        # overlapping repeated 5-gram: 7x 'a' -> merged run covers all
+        (4, "a a a a a a a"),
+        # two separate runs of the same 5-gram with an uncovered gap
+        (5, "p q r s t z1 z2 p q r s t"),
+        (6, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in gopher_repetition(docs).collect()}
+    flags = [k for k in out[0] if k.startswith("pass_")]
+
+    assert out[0]["keep"] is True and all(out[0][f] for f in flags)
+    assert out[1]["dup_line_frac"] == 0.9
+    assert out[1]["pass_dup_lines"] is False
+    assert out[1]["pass_dup_line_chars"] is False
+    assert out[2]["dup_para_frac"] == 0.5
+    assert out[2]["pass_dup_paras"] is False and out[2]["keep"] is False
+    # top 2-gram "x y" (count 3, ties broken to the smallest gram):
+    # 3 * len("x y") = 9 of 11 normalized chars
+    assert abs(out[3]["top_2gram_char_frac"] - 9 / 11) < 1e-12
+    assert out[3]["pass_top_2gram"] is False
+    # overlapping occurrences merge into ONE run covering all 13 chars
+    assert out[4]["dup_5gram_char_frac"] == 1.0
+    # separate runs: 2 * len("p q r s t") = 18 of the 25 normalized
+    # chars; the " z1 z2 " gap is never counted
+    assert abs(out[5]["dup_5gram_char_frac"] - 18 / 25) < 1e-12
+    assert out[5]["pass_dup_5gram"] is False
+    # empty doc: zero repetition everywhere -> vacuous keep (the A1.1
+    # quality rules are what reject empties)
+    assert out[6]["keep"] is True
+    assert out[6]["dup_5gram_char_frac"] == 0.0
+
+
 def test_c4_line_filters_rules(spark):
     """Crafted fixtures: terminal-punctuation and min-word line rules,
     kept-line rejoin, and the three doc-level drops (too few kept

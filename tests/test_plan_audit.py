@@ -240,7 +240,8 @@ def test_new_queries_no_python_nodes(spark):
                  # r6
                  "span_cores", "ivfpq_knn", "semdedup", "pack_sequences",
                  "mixture_weights", "dedup_canonical",
-                 "gopher_quality_filters", "c4_line_filters", "dsir_weights",
+                 "gopher_quality_filters", "gopher_repetition",
+                 "c4_line_filters", "dsir_weights",
                  "ngram_decontaminate", "decontaminate_splice"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name

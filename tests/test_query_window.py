@@ -38,6 +38,7 @@ MUST_BE_IN_WINDOW = {
     "mixture_weights",
     "dedup_canonical",
     "gopher_quality_filters",
+    "gopher_repetition",
     "ngram_decontaminate",
     "decontaminate_splice",
     "c4_line_filters",
