@@ -1190,6 +1190,38 @@ def q_c4_line_filters(spark, sf_dir):
     return textfn.c4_line_filters(docs)
 
 
+def q_c4_span_dedup(spark, sf_dir):
+    """Published C4 GLOBAL dedup rule (Raffel et al. 2020 §2.2):
+    discard all but one of any three-line span occurring more than
+    once in the corpus, rewriting the affected docs. The corpus is
+    single-line, so the query fabricates deterministic lines per doc:
+    full text; a doc_id-modulated leading slice; docs with doc_id%5==0
+    share a constant 3-line footer (the cross-doc duplicate — only the
+    smallest doc_id keeps it); docs with doc_id%7==0 append the slice
+    four more times (a WITHIN-doc duplicate span — the first position
+    wins). Same construction in the oracle pre-CTE."""
+    from apm_opentelemetry_collector_spark.operators.dedup import c4_span_dedup
+
+    did = F.col("doc_id")
+    w1 = F.array_join(
+        F.slice(F.split(F.col("text"), " "), F.lit(1), (did % 6 + 1).cast("int")),
+        " ",
+    )
+    footer = F.when(
+        did % 5 == 0,
+        F.lit("\nshared footer alpha.\nshared footer beta.\nshared footer gamma."),
+    ).otherwise(F.lit(""))
+    rep = F.when(
+        did % 7 == 0,
+        F.concat(*([F.lit("\n"), w1] * 4)),
+    ).otherwise(F.lit(""))
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n"), w1, footer, rep).alias("text"),
+    )
+    return c4_span_dedup(docs)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR importance weights (Xie et al. 2023): hashed-unigram
     (4096-bucket md5) log-likelihood ratio of each doc under the
@@ -1403,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality_filters": q_gopher_quality_filters,
         "gopher_repetition": q_gopher_repetition,
         "c4_line_filters": q_c4_line_filters,
+        "c4_span_dedup": q_c4_span_dedup,
         "dsir_weights": q_dsir_weights,
         "ngram_decontaminate": q_ngram_decontaminate,
         "decontaminate_splice": q_decontaminate_splice,
@@ -2904,6 +2937,23 @@ WHERE da.source <> db.source""",
                 " || chr(10) || array_to_string("
                 "string_split(text, ' ')[1:CAST(doc_id % 8 AS INT) + 2], ' ')"
                 " || '.' AS text"
+                " FROM documents)"
+            ),
+        ),
+        "c4_span_dedup": dd.c4_span_dedup_sql(
+            table="lined",
+            pre_cte=(
+                "lined AS (SELECT doc_id, text || chr(10) ||"
+                " array_to_string(string_split(text, ' ')"
+                "[1:CAST(doc_id % 6 AS INTEGER) + 1], ' ')"
+                " || CASE WHEN doc_id % 5 = 0 THEN"
+                " chr(10) || 'shared footer alpha.' ||"
+                " chr(10) || 'shared footer beta.' ||"
+                " chr(10) || 'shared footer gamma.' ELSE '' END"
+                " || CASE WHEN doc_id % 7 = 0 THEN"
+                " repeat(chr(10) || array_to_string(string_split(text, ' ')"
+                "[1:CAST(doc_id % 6 AS INTEGER) + 1], ' '), 4)"
+                " ELSE '' END AS text"
                 " FROM documents)"
             ),
         ),

@@ -1789,3 +1789,172 @@ SELECT f.id AS {id_col},
        CAST(f.hi - f.lo + 1 AS BIGINT) AS n_chars,
        substr(array_to_string(b.l, ' '), CAST(f.lo AS INTEGER), CAST(f.hi - f.lo + 1 AS INTEGER)) AS piece
 FROM final f JOIN toks b USING (id)"""
+
+
+# C4 span dedup (Raffel et al. 2020, §2.2): "discarded all but one of
+# any three-sentence span occurring more than once in the data set" —
+# the GLOBAL half of the C4 cleaning pass (c4_line_filters is the
+# doc-local half). Unit = line (the corpus's sentence proxy; the
+# published unit is the sentence). Constant feeds BOTH engines.
+C4_SPAN_LINES = 3
+
+
+def c4_span_dedup(
+    docs: DataFrame,
+    n_lines: int = C4_SPAN_LINES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide duplicated-span removal with document REWRITE: every
+    stride-1 window of `n_lines` consecutive lines is keyed by md5;
+    the globally FIRST occurrence (smallest (doc_id, position)) is
+    kept, every other occurrence marks its lines for removal; removed
+    line sets are interval-merged per doc and the surviving lines are
+    re-joined as cleaned_text. Within-doc repeats count too (the first
+    position wins). A line covered by both a kept and a duplicate
+    occurrence is removed — the published rule does not specify the
+    overlap case; this choice is frozen and fed to both engines.
+
+    Spark shape:
+      * spans built per doc as one higher-order fold (transform over
+        sequence + slice + md5) — the line array never leaves its row;
+      * ONE shuffle that matters: (md5 key, id, j) — keys only, no
+        text; first-occurrence selection is a row_number per key
+        (groups are occurrence counts, almost always tiny);
+      * everything after the rn >= 2 filter is RESULT-BOUNDED: the
+        interval merge (running-max gaps-and-islands) windows over the
+        duplicate set only, and the rewrite LEFT-joins the tiny merged
+        intervals back to the corpus (no forced broadcast — module
+        invariant; AQE promotes it when it fits, which at 100 TB with
+        sparse duplication it does).
+
+    Output (all docs): doc_id, n_lines, n_removed_lines, changed,
+    cleaned_text.
+
+    Reference storage contract analog: none (beyond the reference —
+    training-data curation surface).
+    """
+    from pyspark.sql import Window
+
+    n = n_lines
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_text"),
+        F.split(text_col, "\n").alias("ls"),
+    )
+    spans_arr = F.when(
+        F.size("ls") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ls") - (n - 1)),
+            lambda j: F.struct(
+                F.md5(
+                    F.array_join(F.slice(F.col("ls"), j, n), "\n").cast(
+                        "binary"
+                    )
+                ).alias("g"),
+                j.alias("j"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<g:string,j:int>>"))
+    spans = base.select("id", F.explode(spans_arr).alias("s")).select(
+        "id", F.col("s.g").alias("g"), F.col("s.j").alias("j")
+    )
+    w_first = Window.partitionBy("g").orderBy("id", "j")
+    dup = (
+        spans.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") >= 2)
+        .select("id", F.col("j").alias("lo"), (F.col("j") + (n - 1)).alias("hi"))
+    )
+    w_ord = Window.partitionBy("id").orderBy("lo", "hi")
+    prev_max = F.max("hi").over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+    numbered = dup.select(
+        "id",
+        "lo",
+        "hi",
+        F.when(prev_max.isNull() | (F.col("lo") > prev_max + 1), 1)
+        .otherwise(0)
+        .alias("_new"),
+    ).select(
+        "id",
+        "lo",
+        "hi",
+        F.sum("_new")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("isl"),
+    )
+    islands = numbered.groupBy("id", "isl").agg(
+        F.min("lo").alias("s"), F.max("hi").alias("e")
+    )
+    iv = islands.groupBy("id").agg(
+        F.collect_list(F.struct("s", "e")).alias("iv"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("_rm"),
+    )
+    out = base.join(iv, "id", "left")
+    kept = F.filter(
+        F.col("ls"),
+        lambda x, i: ~F.exists(
+            F.col("iv"), lambda v: (v["s"] <= i + 1) & (i + 1 <= v["e"])
+        ),
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.size("ls").cast("bigint").alias("n_lines"),
+        F.coalesce(F.col("_rm"), F.lit(0).cast("bigint")).alias(
+            "n_removed_lines"
+        ),
+        F.col("iv").isNotNull().alias("changed"),
+        F.when(F.col("iv").isNull(), F.col("_text"))
+        .otherwise(F.array_join(kept, "\n"))
+        .alias("cleaned_text"),
+    )
+
+
+def c4_span_dedup_sql(
+    n_lines: int = C4_SPAN_LINES,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pre_cte: str | None = None,
+) -> str:
+    """DuckDB twin of c4_span_dedup (same span keying, same global
+    (id, position) first-occurrence rule, same removal-set semantics —
+    computed as a distinct covered-index anti-join, which equals the
+    interval-merge union by construction)."""
+    n = n_lines
+    pre = f"{pre_cte}, " if pre_cte else ""
+    return f"""
+WITH {pre}base AS (
+  SELECT {id_col} AS id, {text_col} AS t, string_split({text_col}, chr(10)) AS ls
+  FROM {table}
+), spans AS (
+  SELECT id, CAST(j AS INTEGER) AS j,
+         md5(array_to_string(list_slice(ls, CAST(j AS INTEGER), CAST(j AS INTEGER) + {n - 1}), chr(10))) AS g
+  FROM (SELECT id, ls, unnest(range(1, len(ls) - {n} + 2)) AS j
+        FROM base WHERE len(ls) >= {n})
+), dup AS (
+  SELECT id, j
+  FROM (SELECT *, row_number() OVER (PARTITION BY g ORDER BY id, j) AS rn
+        FROM spans)
+  WHERE rn >= 2
+), removed AS (
+  SELECT DISTINCT id, CAST(i AS INTEGER) AS i
+  FROM (SELECT id, unnest(range(j, j + {n})) AS i FROM dup)
+), rm_cnt AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_removed FROM removed GROUP BY id
+), lines AS (
+  SELECT id, CAST(i AS INTEGER) AS i, ls[CAST(i AS INTEGER)] AS line
+  FROM (SELECT id, ls, unnest(range(1, len(ls) + 1)) AS i FROM base)
+), kept AS (
+  SELECT l.id, l.i, l.line
+  FROM lines l ANTI JOIN removed r ON l.id = r.id AND l.i = r.i
+), cleaned AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY i) AS ct FROM kept GROUP BY id
+)
+SELECT b.id AS {id_col},
+       CAST(len(b.ls) AS BIGINT) AS n_lines,
+       coalesce(r.n_removed, 0) AS n_removed_lines,
+       (r.n_removed IS NOT NULL) AS changed,
+       CASE WHEN r.n_removed IS NULL THEN b.t ELSE coalesce(c.ct, '') END AS cleaned_text
+FROM base b
+LEFT JOIN rm_cnt r ON b.id = r.id
+LEFT JOIN cleaned c ON b.id = c.id"""

@@ -113,6 +113,7 @@ def main() -> None:
         "gopher_quality_filters",
         "gopher_repetition",
         "c4_line_filters",
+        "c4_span_dedup",
         "dsir_weights",
         "ngram_decontaminate",
         "decontaminate_splice",

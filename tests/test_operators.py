@@ -1133,6 +1133,38 @@ def test_c4_line_filters_rules(spark):
     assert out[5]["n_kept_lines"] == 1
 
 
+def test_c4_span_dedup_global_first_occurrence(spark):
+    """Crafted corpus: the globally-first (doc_id, position) occurrence
+    of a duplicated 3-line span is kept, every other occurrence loses
+    its lines (cross-doc AND within-doc), overlapping duplicate spans
+    remove the union of their lines, and untouched docs pass through."""
+    from apm_opentelemetry_collector_spark.operators.dedup import c4_span_dedup
+
+    footer = "f one.\nf two.\nf three."
+    rows = [
+        (0, "a0.\nb0.\n" + footer),          # first footer occurrence
+        (1, "a1.\nb1.\n" + footer),          # loses the footer lines
+        (2, "x.\nx.\nx.\nx.\nx."),           # within-doc: j=1 kept, 2-3 dup
+        (3, "solo one.\nsolo two."),          # < 3 lines: no spans
+        (4, footer + "\ntail4."),            # footer at j=1, still later by id
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in c4_span_dedup(docs).collect()}
+
+    assert out[0]["changed"] is False and out[0]["cleaned_text"] == rows[0][1]
+    assert out[1]["changed"] is True and out[1]["n_removed_lines"] == 3
+    assert out[1]["cleaned_text"] == "a1.\nb1."
+    # overlapping dup occurrences (j=2 covers 2-4, j=3 covers 3-5)
+    # remove the union 2..5; the first occurrence's line 1 survives
+    assert out[2]["n_removed_lines"] == 4
+    assert out[2]["cleaned_text"] == "x."
+    assert out[3]["changed"] is False and out[3]["n_removed_lines"] == 0
+    # global order is (doc_id, j): doc 0's footer at j=3 precedes doc 4's
+    # at j=1, so doc 4 loses it despite the smaller position
+    assert out[4]["n_removed_lines"] == 3
+    assert out[4]["cleaned_text"] == "tail4."
+
+
 def test_dsir_weights_rank_target_like_docs(spark):
     """DSIR must rank same-length docs by target-likeness: a doc made of
     target vocabulary scores above a mixed doc, which scores above an

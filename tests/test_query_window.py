@@ -42,6 +42,7 @@ MUST_BE_IN_WINDOW = {
     "ngram_decontaminate",
     "decontaminate_splice",
     "c4_line_filters",
+    "c4_span_dedup",
     "dsir_weights",
 }
 
