@@ -1231,6 +1231,15 @@ def q_dsir_weights(spark, sf_dir):
     return textfn.dsir_weights(_load(spark, sf_dir, "documents"))
 
 
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet quality stratification (Wenzek et al. 2020): per-language
+    head/middle/tail LM-score terciles over the documents table (the
+    corpus-trained bigram LM stands in for CCNet's per-language
+    KenLM). Exact per-lang percentile thresholds; bucket comparisons
+    are interpolation-robust (see the operator's parity note)."""
+    return textfn.ccnet_buckets(_load(spark, sf_dir, "documents"))
+
+
 DECONTAM_EVAL_SOURCES = ("src0", "src1")
 
 
@@ -1437,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_line_filters": q_c4_line_filters,
         "c4_span_dedup": q_c4_span_dedup,
         "dsir_weights": q_dsir_weights,
+        "ccnet_buckets": q_ccnet_buckets,
         "ngram_decontaminate": q_ngram_decontaminate,
         "decontaminate_splice": q_decontaminate_splice,
         # --- new in r5 ------------------------------------------------------
@@ -2958,6 +2968,7 @@ WHERE da.source <> db.source""",
             ),
         ),
         "dsir_weights": textfn.dsir_weights_sql(),
+        "ccnet_buckets": textfn.ccnet_buckets_sql(),
         "ngram_decontaminate": dd.ngram_decontaminate_sql(DECONTAM_EVAL_SOURCES),
         "decontaminate_splice": dd.decontaminate_splice_sql(
             DECONTAM_EVAL_SOURCES, **SPLICE_TEST_PARAMS

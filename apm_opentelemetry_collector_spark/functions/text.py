@@ -1226,3 +1226,94 @@ SELECT id AS {id_col}, n_lines, n_paras,
   {pass_cols},
   ({keep}) AS keep
 FROM j"""
+
+
+# --- CCNet perplexity bucketing ----------------------------------------------
+# CCNet (Wenzek et al. 2020): after language ID, score every document
+# with a language model and split each language's corpus into
+# head / middle / tail perplexity TERCILES — the published
+# quality-stratification step that downstream pipelines sample from
+# (head for clean pretraining data, tail for filtering studies). The
+# bucketing operator is the surface here; the in-repo corpus-trained
+# bigram LM (bigram_lm_scores) stands in for CCNet's per-language
+# KenLM. Tercile fractions feed BOTH engines.
+CCNET_TERCILES = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def ccnet_buckets(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+):
+    """Per-language LM-score terciles: head = top third by avg_logp
+    (lowest perplexity), middle, tail. Docs with < 2 tokens have no
+    bigram score and drop out (bigram_lm_scores contract).
+
+    Spark shape: the LM scoring is bigram_lm_scores' map-side-combinable
+    count aggregates; this adds one doc-cardinality equi-join to attach
+    the language (dwarfed by the token-level work upstream), one
+    #langs-row exact-percentile aggregate, and a threshold join AQE
+    broadcasts. The exact per-lang percentile sorts each language's
+    scores on one reducer (#langs-bounded parallelism) — the same trade
+    robust_zscore_outliers documents; tdigest_quantiles is the bounded-
+    state swap at 100 TB (CCNet itself buckets on a sampled histogram).
+
+    Threshold parity note: both engines interpolate at fractional
+    positions ((n-1)/3 mod 1 ∈ {0, 1/3, 2/3}), and avg_logp is rounded
+    to 6dp upstream, so a threshold is either exactly a data value or
+    ≥ ~3e-7 from every data value — 1-ulp interpolation differences
+    between engines can never flip a bucket comparison.
+
+    Output: doc_id, lang, n_bigrams, avg_logp, bucket.
+    """
+    q1, q2 = CCNET_TERCILES
+    scores = bigram_lm_scores(docs, text_col=text_col, id_col=id_col)
+    j = scores.join(docs.select(id_col, lang_col), id_col)
+    th = j.groupBy(lang_col).agg(
+        F.expr(
+            f"percentile(avg_logp, array(CAST({q1!r} AS DOUBLE),"
+            f" CAST({q2!r} AS DOUBLE)))"
+        ).alias("_qs")
+    )
+    return j.join(th, lang_col).select(
+        F.col(id_col),
+        F.col(lang_col),
+        "n_bigrams",
+        "avg_logp",
+        F.when(F.col("avg_logp") >= F.element_at("_qs", 2), F.lit("head"))
+        .when(F.col("avg_logp") >= F.element_at("_qs", 1), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def ccnet_buckets_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of ccnet_buckets (bigram_lm_scores_sql composed as a
+    CTE; quantile_cont ≡ Spark percentile interpolation — see the
+    operator's threshold parity note)."""
+    q1, q2 = CCNET_TERCILES
+    inner = bigram_lm_scores_sql(table=table, text_col=text_col, id_col=id_col)
+    return f"""
+WITH scores AS ({inner}
+), langs AS (
+  SELECT {id_col}, {lang_col} FROM {table}
+), j AS (
+  SELECT s.{id_col}, s.n_bigrams, s.avg_logp, l.{lang_col}
+  FROM scores s JOIN langs l USING ({id_col})
+), th AS (
+  SELECT {lang_col},
+         quantile_cont(avg_logp, {q1!r}) AS t1,
+         quantile_cont(avg_logp, {q2!r}) AS t2
+  FROM j GROUP BY {lang_col}
+)
+SELECT j.{id_col}, j.{lang_col}, j.n_bigrams, j.avg_logp,
+       CASE WHEN j.avg_logp >= th.t2 THEN 'head'
+            WHEN j.avg_logp >= th.t1 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM j JOIN th USING ({lang_col})"""

@@ -115,6 +115,7 @@ def main() -> None:
         "c4_line_filters",
         "c4_span_dedup",
         "dsir_weights",
+        "ccnet_buckets",
         "ngram_decontaminate",
         "decontaminate_splice",
     ]

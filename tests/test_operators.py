@@ -1165,6 +1165,36 @@ def test_c4_span_dedup_global_first_occurrence(spark):
     assert out[4]["cleaned_text"] == "tail4."
 
 
+def test_ccnet_buckets_per_lang_terciles(spark):
+    """Docs whose common-bigram mass rises monotonically bucket into
+    tail/middle/head terciles in score order — and thresholds are
+    PER-LANGUAGE: the three lowest-scoring constructions, alone in a
+    second language, span all three buckets there."""
+    from apm_opentelemetry_collector_spark.functions.text import ccnet_buckets
+
+    def doc(i, tag):
+        return "common pair " * (i + 1) + f"rare{tag}{i}"
+
+    rows = [(i, doc(i, "en"), "en") for i in range(9)]
+    rows += [(100 + i, doc(i, "de"), "de") for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r.asDict() for r in ccnet_buckets(docs).collect()}
+
+    # scores rise with i (the unique rare-word bigram's weight shrinks)
+    en_scores = [out[i]["avg_logp"] for i in range(9)]
+    assert en_scores == sorted(en_scores)
+    assert [out[i]["bucket"] for i in range(9)] == (
+        ["tail"] * 3 + ["middle"] * 3 + ["head"] * 3
+    )
+    # per-language thresholds: the same three low constructions span
+    # all three buckets inside 'de'
+    assert [out[100 + i]["bucket"] for i in range(3)] == [
+        "tail",
+        "middle",
+        "head",
+    ]
+
+
 def test_dsir_weights_rank_target_like_docs(spark):
     """DSIR must rank same-length docs by target-likeness: a doc made of
     target vocabulary scores above a mixed doc, which scores above an

@@ -242,6 +242,7 @@ def test_new_queries_no_python_nodes(spark):
                  "mixture_weights", "dedup_canonical",
                  "gopher_quality_filters", "gopher_repetition",
                  "c4_line_filters", "c4_span_dedup", "dsir_weights",
+                 "ccnet_buckets",
                  "ngram_decontaminate", "decontaminate_splice"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name

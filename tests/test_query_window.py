@@ -44,6 +44,7 @@ MUST_BE_IN_WINDOW = {
     "c4_line_filters",
     "c4_span_dedup",
     "dsir_weights",
+    "ccnet_buckets",
 }
 
 
