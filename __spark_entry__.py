@@ -1276,6 +1276,16 @@ def q_decontaminate_splice(spark, sf_dir):
     )
 
 
+def q_exactsubstr_dedup(spark, sf_dir):
+    """ExactSubstr REMOVAL (Lee et al. 2022): excise every occurrence
+    of every maximal duplicated substring ≥32 chars (including the
+    first — the published tool's choice) and rewrite the corpus — the
+    apply step repeated_spans' detection feeds. One keys-only stride-1
+    seed shuffle; the rewrite is a per-doc higher-order cursor fold
+    over sorted removal intervals, integer-exact on both engines."""
+    return dd.exactsubstr_dedup(_load(spark, sf_dir, "documents"))
+
+
 def q_dedup_components_star(spark, sf_dir):
     """Near-dup groups via alternating large-star/small-star (Kiveris
     et al.) — the billion-edge production form of dedup_components:
@@ -1435,6 +1445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r6 ------------------------------------------------------
+        "exactsubstr_dedup": q_exactsubstr_dedup,
         "span_cores": q_span_cores,
         "pack_sequences": q_pack_sequences,
         "mixture_weights": q_mixture_weights,
@@ -2912,6 +2923,7 @@ WHERE da.source <> db.source""",
         "dedup_components_star": _components_star_sql(),
         "repeated_passages": dd.repeated_passages_sql(),
         "repeated_spans": dd.repeated_spans_sql(),
+        "exactsubstr_dedup": dd.exactsubstr_dedup_sql(),
         "span_cores": dd.span_cores_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "mixture_weights": _mixture_weights_sql(),

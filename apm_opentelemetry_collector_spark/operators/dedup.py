@@ -1958,3 +1958,231 @@ SELECT b.id AS {id_col},
 FROM base b
 LEFT JOIN rm_cnt r ON b.id = r.id
 LEFT JOIN cleaned c ON b.id = c.id"""
+
+
+# ExactSubstr removal (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better", §4.1 + the released
+# deduplicate-text-datasets tool): every character that is part of a
+# sufficiently long substring occurring more than once in the corpus is
+# REMOVED from every occurrence — including the first (the published
+# tool's deliberate choice; keep_first=True is the keep-one-copy
+# variant it discusses). The published threshold is 50 BPE tokens; the
+# default here is its char-scale analog sized to the ~300-char
+# synthetic docs. Constant feeds BOTH engines.
+EXACTSUBSTR_MIN_LEN = 32
+
+
+def exactsubstr_dedup(
+    docs: DataFrame,
+    seed_len: int = SPAN_SEED_LEN,
+    min_len: int = EXACTSUBSTR_MIN_LEN,
+    min_copies: int = 2,
+    keep_first: bool = False,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The REMOVAL step of ExactSubstr dedup — the operator
+    repeated_spans' detection feeds: excise every occurrence of every
+    maximal duplicated substring of length >= min_len and rewrite the
+    document. repeated_spans REPORTS the spans; this op APPLIES the
+    Lee et al. 2022 cleaning decision to the corpus.
+
+    Semantics, stated precisely (the seed-and-extend approximation of
+    the paper's suffix-array scan, same contract as repeated_spans):
+    seed-start position p of a doc's NORMALIZED text is duplicated when
+    the seed_len-gram at p occurs >= min_copies times in the WHOLE
+    corpus (total occurrences — within-doc repeats count, matching the
+    paper's any-two-occurrences rule, unlike repeated_spans' distinct-
+    doc gate). Maximal runs of duplicated positions become char
+    intervals [p0, p1 + seed_len - 1]; intervals shorter than min_len
+    are kept (the paper's length threshold). Every occurrence is
+    excised — including the first, the published tool's documented
+    choice; ``keep_first=True`` instead retains the globally first
+    occurrence (smallest (doc_id, start)) of each distinct removed-span
+    TEXT. A run of positions hot via DIFFERENT partners can chain into
+    one interval (the documented over-approximation repeated_spans
+    shares); every truly duplicated >= min_len substring is covered.
+
+    Spark shape:
+      * ONE shuffle that matters: the stride-1 seed count on the raw
+        16-char key (smaller than its md5 hex — the measured
+        repeated_spans call), two-level, keys only, no text;
+      * hot positions are gaps-and-islanded per doc (window over the
+        corpus's DUPLICATED content only);
+      * the rewrite is a single per-doc higher-order fold: intervals
+        sort_array'd into one row, cleaned_text = aggregate() walking a
+        cursor over the complement — no per-piece rows, no second
+        window, integer-exact substring math (bit-exact DuckDB twin);
+      * the interval table LEFT-joins the corpus with no forced
+        broadcast (module invariant; AQE promotes it when sparse
+        duplication keeps it small).
+
+    Output (all docs, normalized-text domain like decontaminate_splice):
+    doc_id, n_chars, n_removed_chars, n_spans_removed, changed,
+    cleaned_text.
+
+    Reference storage contract analog: none (beyond the reference —
+    training-data curation surface).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("id"), normalized(text_col).alias("norm")
+    )
+    eligible = base.filter(F.length("norm") >= seed_len)
+    windows = eligible.select(
+        "id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("norm") - (seed_len - 1))
+        ).alias("i"),
+        "norm",
+    ).select(
+        "id", "i", F.substring(F.col("norm"), F.col("i"), seed_len).alias("fp")
+    )
+    hot = (
+        windows.groupBy("fp")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_copies)
+        .select("fp")
+    )
+    hot_pos = windows.join(hot, "fp", "left_semi").select("id", "i")
+    grp = F.col("i") - F.row_number().over(
+        Window.partitionBy("id").orderBy("i")
+    )
+    iv = (
+        hot_pos.withColumn("_grp", grp)
+        .groupBy("id", "_grp")
+        .agg(F.min("i").alias("s"), (F.max("i") + seed_len - 1).alias("e"))
+        .filter(F.col("e") - F.col("s") + 1 >= min_len)
+        .select("id", "s", "e")
+    )
+    if keep_first:
+        # result-bounded text fetch (repeated_spans discipline): span
+        # text only for the removal candidates, fingerprinted to find
+        # each distinct span's globally-first occurrence
+        spans = iv.join(eligible, "id").select(
+            "id",
+            "s",
+            "e",
+            F.md5(
+                F.expr(
+                    "substring(norm, CAST(s AS INT), CAST(e - s + 1 AS INT))"
+                ).cast("binary")
+            ).alias("_fp"),
+        )
+        w_first = Window.partitionBy("_fp").orderBy("id", "s")
+        iv = (
+            spans.withColumn("_rn", F.row_number().over(w_first))
+            .filter(F.col("_rn") >= 2)
+            .select("id", "s", "e")
+        )
+    per_doc = iv.groupBy("id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
+        F.count("*").cast("bigint").alias("n_spans_removed"),
+        F.sum(F.col("e") - F.col("s") + 1)
+        .cast("bigint")
+        .alias("n_removed_chars"),
+    )
+    out = base.join(per_doc, "id", "left")
+    # cursor fold over the sorted disjoint intervals: append the gap
+    # before each removal, then the tail — ≡ string_agg of the
+    # complement pieces ordered by lo (the oracle's form)
+    fold = F.expr(
+        "aggregate(iv, struct(1 AS cur, '' AS acc), "
+        "(st, v) -> struct(CAST(v.e + 1 AS INT) AS cur, "
+        "concat(st.acc, substring(norm, st.cur, CAST(v.s AS INT) - st.cur)) AS acc), "
+        "st -> concat(st.acc, substring(norm, st.cur, length(norm) - st.cur + 1)))"
+    )
+    return out.select(
+        F.col("id").alias(id_col),
+        F.length("norm").cast("bigint").alias("n_chars"),
+        F.coalesce("n_removed_chars", F.lit(0).cast("bigint")).alias(
+            "n_removed_chars"
+        ),
+        F.coalesce("n_spans_removed", F.lit(0).cast("bigint")).alias(
+            "n_spans_removed"
+        ),
+        F.col("iv").isNotNull().alias("changed"),
+        F.when(F.col("iv").isNull(), F.col("norm"))
+        .otherwise(fold)
+        .alias("cleaned_text"),
+    )
+
+
+def exactsubstr_dedup_sql(
+    seed_len: int = SPAN_SEED_LEN,
+    min_len: int = EXACTSUBSTR_MIN_LEN,
+    min_copies: int = 2,
+    keep_first: bool = False,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of exactsubstr_dedup (same normalize/seed/island
+    integer math; the rewrite is the complement-piece string_agg, which
+    equals the Spark cursor fold by construction)."""
+    if keep_first:
+        kf = f"""sp AS (
+  SELECT v.id, v.s, v.e,
+         md5(substr(d.norm, v.s, v.e - v.s + 1)) AS fp
+  FROM iv0 v JOIN docs_n d ON v.id = d.id
+), iv AS (
+  SELECT id, s, e
+  FROM (SELECT *, row_number() OVER (PARTITION BY fp ORDER BY id, s) AS rn
+        FROM sp)
+  WHERE rn >= 2
+)"""
+    else:
+        kf = "iv AS (SELECT id, s, e FROM iv0)"
+    return f"""
+WITH docs_n AS (
+  SELECT {id_col} AS id, trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')) AS norm
+  FROM {table}
+), w AS (
+  SELECT id, CAST(i AS INTEGER) AS i,
+         substr(norm, CAST(i AS INTEGER), {seed_len}) AS fp
+  FROM (SELECT id, norm,
+               unnest(range(1, length(norm) - {seed_len - 2}, 1)) AS i
+        FROM docs_n WHERE length(norm) >= {seed_len})
+), hot AS (
+  SELECT fp FROM w GROUP BY fp HAVING count(*) >= {min_copies}
+), hp AS (
+  SELECT w.id, w.i FROM w JOIN hot USING (fp)
+), runs AS (
+  SELECT id, i, i - row_number() OVER (PARTITION BY id ORDER BY i) AS grp
+  FROM hp
+), iv0 AS (
+  SELECT id, min(i) AS s, max(i) + {seed_len - 1} AS e
+  FROM runs GROUP BY id, grp
+  HAVING max(i) + {seed_len - 1} - min(i) + 1 >= {min_len}
+), {kf}, stats AS (
+  SELECT id, CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS rm
+  FROM iv GROUP BY id
+), gaps AS (
+  SELECT id,
+         coalesce(lag(e) OVER (PARTITION BY id ORDER BY s) + 1, 1) AS lo,
+         s - 1 AS hi
+  FROM iv
+), tails AS (
+  SELECT v.id, max(v.e) + 1 AS lo, max(length(d.norm)) AS hi
+  FROM iv v JOIN docs_n d ON v.id = d.id GROUP BY v.id
+), pieces AS (
+  SELECT id, lo, hi FROM gaps WHERE hi >= lo
+  UNION ALL
+  SELECT id, lo, hi FROM tails WHERE hi >= lo
+), cleaned AS (
+  SELECT p.id,
+         string_agg(substr(d.norm, CAST(p.lo AS INTEGER), CAST(p.hi - p.lo + 1 AS INTEGER)),
+                    '' ORDER BY p.lo) AS ct
+  FROM pieces p JOIN docs_n d ON p.id = d.id GROUP BY p.id
+)
+SELECT d.id AS {id_col},
+       CAST(length(d.norm) AS BIGINT) AS n_chars,
+       coalesce(st.rm, 0) AS n_removed_chars,
+       coalesce(st.n_spans, 0) AS n_spans_removed,
+       (st.id IS NOT NULL) AS changed,
+       CASE WHEN st.id IS NULL THEN d.norm ELSE coalesce(c.ct, '') END AS cleaned_text
+FROM docs_n d
+LEFT JOIN stats st ON d.id = st.id
+LEFT JOIN cleaned c ON d.id = c.id"""

@@ -118,6 +118,7 @@ def main() -> None:
         "ccnet_buckets",
         "ngram_decontaminate",
         "decontaminate_splice",
+        "exactsubstr_dedup",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -1310,3 +1310,57 @@ def test_decontaminate_splice_gpt3_rules(spark):
     assert all(r["n_chars"] >= 30 for r in p10)
     # doc 12 fragments into 3 pieces > max_pieces=2 → dropped (absent);
     # doc 11 fully covered → absent; doc 13 clean → absent
+
+
+def test_exactsubstr_dedup_removal_rules(spark):
+    """Lee et al. ExactSubstr removal on a crafted corpus: a >=32-char
+    block shared by two docs is excised from BOTH at its maximal shared
+    extent (including the shared 'a start' flank the seed chaining
+    finds), sub-threshold duplicates survive, a fully-duplicated doc
+    rewrites to '', within-doc repeats count as duplication, and
+    keep_first retains exactly the globally-first occurrence."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    block = "the quick brown fox jumps over the lazy dog repeatedly"
+    short_dup = "tiny duplicate bit"  # 18 chars < min_len=32
+    rows = [
+        (0, "alpha start " + block + " alpha end"),
+        (1, "beta start " + block + " beta end"),
+        (2, "unique text with no repeats anywhere in this corpus at all"),
+        (3, short_dup + " padding one xxxxxxxxxxxxx"),
+        (4, short_dup + " padding two yyyyyyyyyyyyy"),
+        (5, block),
+        (6, "self " + block + " mid " + block + " done"),
+        (7, "tiny"),  # < seed_len: no windows, passes through
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in exactsubstr_dedup(docs).collect()}
+
+    # both occurrences excised — the maximal shared substring is
+    # "a start the ... repeatedly " (the flank 'a start ' is shared too)
+    assert out[0]["changed"] and out[0]["cleaned_text"] == "alphalpha end"
+    assert out[1]["changed"] and out[1]["cleaned_text"] == "betbeta end"
+    assert out[0]["n_removed_chars"] == out[1]["n_removed_chars"] == 63
+    # unique and sub-threshold docs pass through unchanged (normalized)
+    for i in (2, 3, 4, 7):
+        assert not out[i]["changed"] and out[i]["n_removed_chars"] == 0
+        assert out[i]["cleaned_text"] == rows[i][1]
+    # fully-duplicated doc rewrites to empty
+    assert out[5]["changed"] and out[5]["cleaned_text"] == ""
+    assert out[5]["n_removed_chars"] == out[5]["n_chars"] == len(block)
+    # within-doc repetition is duplication: both copies excised
+    assert out[6]["n_spans_removed"] == 2
+    assert out[6]["cleaned_text"] == "selfmiddone"
+
+    kept = {
+        r["doc_id"]: r.asDict()
+        for r in exactsubstr_dedup(docs, keep_first=True).collect()
+    }
+    # globally-first occurrence of the shared span text survives intact
+    assert not kept[0]["changed"]
+    assert kept[0]["cleaned_text"] == rows[0][1]
+    assert kept[1]["changed"] and kept[1]["cleaned_text"] == "betbeta end"
+    # doc 6's first within-doc copy survives, the second is excised
+    assert kept[6]["n_spans_removed"] == 1

@@ -243,7 +243,8 @@ def test_new_queries_no_python_nodes(spark):
                  "gopher_quality_filters", "gopher_repetition",
                  "c4_line_filters", "c4_span_dedup", "dsir_weights",
                  "ccnet_buckets",
-                 "ngram_decontaminate", "decontaminate_splice"):
+                 "ngram_decontaminate", "decontaminate_splice",
+                 "exactsubstr_dedup"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

@@ -45,6 +45,7 @@ MUST_BE_IN_WINDOW = {
     "c4_span_dedup",
     "dsir_weights",
     "ccnet_buckets",
+    "exactsubstr_dedup",
 }
 
 
