@@ -1276,6 +1276,23 @@ def q_decontaminate_splice(spark, sf_dir):
     )
 
 
+def q_curation_funnel(spark, sf_dir):
+    """The published curation stack composed as ONE job: C4 line
+    filters → Gopher quality on the cleaned text → exact keep-first
+    dedup, reported as a per-source survival funnel + surviving token
+    budget. Stage logic reuses the already-oracled operators and their
+    SQL generators verbatim (single source of truth); the corpus is
+    single-line soup, so the query fabricates the c4_line_filters
+    4-line construction with a stopword tail and a shared-template
+    branch (doc_id%10==0) so every stage has real, varied work."""
+    from apm_opentelemetry_collector_spark.operators.curation import (
+        curation_funnel,
+        curation_lined,
+    )
+
+    return curation_funnel(curation_lined(_load(spark, sf_dir, "documents")))
+
+
 def q_exactsubstr_dedup(spark, sf_dir):
     """ExactSubstr REMOVAL (Lee et al. 2022): excise every occurrence
     of every maximal duplicated substring ≥32 chars (including the
@@ -1445,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r6 ------------------------------------------------------
+        "curation_funnel": q_curation_funnel,
         "exactsubstr_dedup": q_exactsubstr_dedup,
         "span_cores": q_span_cores,
         "pack_sequences": q_pack_sequences,
@@ -2314,6 +2332,14 @@ SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2 FROM (
     )
 
 
+def _curation_funnel_sql() -> str:
+    from apm_opentelemetry_collector_spark.operators.curation import (
+        curation_funnel_sql,
+    )
+
+    return curation_funnel_sql()
+
+
 def _pack_sequences_sql(seq_len: int | None = None) -> str:
     """Exact twin of operators/pack.pack_sequences: one SUM() OVER
     (ORDER BY doc_id) exclusive-prefix window — the single-partition
@@ -2924,6 +2950,7 @@ WHERE da.source <> db.source""",
         "repeated_passages": dd.repeated_passages_sql(),
         "repeated_spans": dd.repeated_spans_sql(),
         "exactsubstr_dedup": dd.exactsubstr_dedup_sql(),
+        "curation_funnel": _curation_funnel_sql(),
         "span_cores": dd.span_cores_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "mixture_weights": _mixture_weights_sql(),

@@ -119,6 +119,7 @@ def main() -> None:
         "ngram_decontaminate",
         "decontaminate_splice",
         "exactsubstr_dedup",
+        "curation_funnel",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

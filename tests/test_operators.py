@@ -1364,3 +1364,48 @@ def test_exactsubstr_dedup_removal_rules(spark):
     assert kept[1]["changed"] and kept[1]["cleaned_text"] == "betbeta end"
     # doc 6's first within-doc copy survives, the second is excised
     assert kept[6]["n_spans_removed"] == 1
+
+
+def test_curation_funnel_stage_semantics(spark):
+    """Hand-lined corpus through the composed C4 → Gopher → exact-dedup
+    funnel: a brace doc dies at C4, a short doc dies at Gopher word
+    count, an exact duplicate of a surviving doc is collapsed
+    keep-first, and tokens_kept sums the surviving CLEANED texts."""
+    from apm_opentelemetry_collector_spark.operators.curation import (
+        curation_funnel,
+    )
+
+    # 63 words, 3 keepable lines, stopword-rich, alpha-heavy
+    good = (
+        "the pipeline reads every record and that is the point of the "
+        "whole exercise because we want clean data for training runs.\n"
+        "it should be obvious that each of these lines ends with a "
+        "proper sentence terminator and has plenty of ordinary words.\n"
+        "finally the document closes with one more full sentence so "
+        "the line filters keep at least three of them intact."
+    )
+    short = (
+        "one short sentence that ends properly here.\n"
+        "another short sentence that also ends well.\n"
+        "and that is of course all there is."
+    )
+    rows = [
+        (1, "src_a", good),
+        (7, "src_a", good),                      # exact dup of doc 1
+        (3, "src_a", good + "\ncode { brace }."),  # brace → fails C4
+        (4, "src_b", short),                     # < 50 words → fails Gopher
+        (5, "src_b", good + "\nplus one extra closing sentence to differ."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r.asDict() for r in curation_funnel(docs).collect()}
+
+    assert out["src_a"]["n_raw"] == 3
+    assert out["src_a"]["n_after_c4"] == 2        # brace doc dropped
+    assert out["src_a"]["n_after_gopher"] == 2
+    assert out["src_a"]["n_after_dedup"] == 1     # dup collapsed to doc 1
+    # tokens of ONE surviving cleaned text (all 3 lines kept = 63 words)
+    assert out["src_a"]["tokens_kept"] == 63
+    assert out["src_b"]["n_raw"] == 2
+    assert out["src_b"]["n_after_c4"] == 2
+    assert out["src_b"]["n_after_gopher"] == 1    # short doc dropped
+    assert out["src_b"]["n_after_dedup"] == 1

@@ -244,7 +244,7 @@ def test_new_queries_no_python_nodes(spark):
                  "c4_line_filters", "c4_span_dedup", "dsir_weights",
                  "ccnet_buckets",
                  "ngram_decontaminate", "decontaminate_splice",
-                 "exactsubstr_dedup"):
+                 "exactsubstr_dedup", "curation_funnel"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

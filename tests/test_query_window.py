@@ -46,6 +46,7 @@ MUST_BE_IN_WINDOW = {
     "dsir_weights",
     "ccnet_buckets",
     "exactsubstr_dedup",
+    "curation_funnel",
 }
 
 
