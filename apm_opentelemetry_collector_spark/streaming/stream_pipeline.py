@@ -1004,6 +1004,153 @@ def minhash_candidates_stateful(
     )
 
 
+def semdedup_stateful(
+    stream: DataFrame,
+    centroids,
+    threshold: float | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming SemDeDup (Abbas et al. 2023) against a FROZEN codebook —
+    the incremental form of operators/dedup.semdedup: as embeddings
+    stream in, each is cluster-assigned map-side against `centroids`
+    (a plain list of vectors — e.g. a batch k-means run's output) and
+    compared ONLY against residents of its own cluster's keyed state,
+    so semantic near-duplicates of anything seen within the state
+    horizon are flagged on ARRIVAL. Freezing the codebook is what makes
+    the op streamable — Lloyd iteration is a batch concern; production
+    stacks retrain offline and hot-swap, exactly like the frozen
+    hyperplanes of lsh_knn.
+
+    Assignment is the SAME strictly-smaller-d2 literal fold as the
+    batch _assign (ties to the lower cluster id), rendered over literal
+    centroid arrays — a pure projection, no join, no shuffle before the
+    one stateful stage.
+
+    Keep rule and its streaming contract: a doc is dropped iff some
+    SMALLER-id resident of its cluster has cosine >= threshold — the
+    batch operator's rule, evaluated at emit time over residents (which
+    is every smaller-id doc when arrival order respects ids across
+    micro-batches; within a batch ids are processed ascending).
+    Dropped docs still enter the resident set (a dropped doc suppresses
+    its own larger-id near-dups, matching batch). A LATE smaller-id
+    arrival cannot retro-drop an already-emitted keep (append mode) —
+    it is compared only against residents with ids below its own.
+    n_prior_similar counts smaller-id tau-neighbors at arrival (batch
+    n_similar counts both directions, so only `keep` is
+    slicing-invariant — the equality tests compare keep).
+
+    State per cluster is the resident (id, vector) list — bounded by
+    cluster occupancy, the SemDeDup cell-bounded contract (k grows with
+    the corpus so cells stay small); state_ttl_s bounds the horizon
+    (shared _resolve_ttl machinery, processing clock): an idle cluster
+    is dropped, so a later duplicate of an evicted doc is NOT flagged —
+    choose TTL >= the dedup horizon.
+
+    Output (append, one row per arrival): vec_id, cluster, keep,
+    n_prior_similar.
+    """
+    from ..operators.clustering import _dist2
+    from ..operators.dedup import SEMDEDUP_TAU
+
+    tau = float(SEMDEDUP_TAU if threshold is None else threshold)
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
+
+    id_type = stream.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_id", id_type),
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("keep", T.BooleanType()),
+            T.StructField("n_prior_similar", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(id_type)),
+            T.StructField("vecs", T.ArrayType(T.ArrayType(T.DoubleType()))),
+        ]
+    )
+
+    cents = F.array(
+        *[
+            F.struct(
+                F.lit(ci).alias("cluster"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("c"),
+            )
+            for ci, c in enumerate(centroids)
+        ]
+    )
+    acc0 = F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cluster"))
+
+    def step(acc, x):
+        d2 = _dist2(F.col("v"), x["c"])
+        return F.when(
+            d2 < acc["d2"],
+            F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
+        ).otherwise(acc)
+
+    assigned = stream.select(
+        F.col(id_col).alias("id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    ).select("id", "v", F.aggregate(cents, acc0, step)["cluster"].alias("cluster"))
+
+    def dedup(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        import numpy as np
+
+        if _evict_if_timed_out(state, ttl_ms):
+            return
+        ids, vecs = state.get if state.exists else ([], [])
+        ids = list(ids or [])
+        vecs = [np.asarray(v, dtype=np.float64) for v in (vecs or [])]
+        resident = set(ids)
+        arrivals: list = []
+        for pdf in pdfs:
+            for i, v in zip(pdf["id"], pdf["v"]):
+                i = i.item() if hasattr(i, "item") else i
+                if i in resident:
+                    continue  # at-least-once re-delivery
+                resident.add(i)
+                arrivals.append((i, np.asarray(list(v), dtype=np.float64)))
+        arrivals.sort(key=lambda t: t[0])
+        out_id, out_keep, out_n = [], [], []
+        for i, v in arrivals:
+            nv = float(np.sqrt(v @ v))
+            n_sim = 0
+            for j, w in zip(ids, vecs):
+                if j >= i:
+                    continue
+                nw = float(np.sqrt(w @ w))
+                cos = float(v @ w) / (nv * nw) if nv > 0 and nw > 0 else 0.0
+                if cos >= tau:
+                    n_sim += 1
+            ids.append(i)
+            vecs.append(v)
+            out_id.append(i)
+            out_keep.append(n_sim == 0)
+            out_n.append(n_sim)
+        state.update((ids, [list(map(float, w)) for w in vecs]))
+        _arm_ttl(state, ttl_ms, event_ttl)
+        if out_id:
+            yield pd.DataFrame(
+                {
+                    "vec_id": out_id,
+                    "cluster": key[0],
+                    "keep": out_keep,
+                    "n_prior_similar": out_n,
+                }
+            )
+
+    return assigned.groupBy("cluster").applyInPandasWithState(
+        dedup,
+        out_schema,
+        state_schema,
+        "append",
+        timeout,
+    )
+
+
 def write_sinks_stream(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ):

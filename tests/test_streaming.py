@@ -1712,3 +1712,113 @@ def test_minhash_candidates_ttl_bounds_bucket_horizon(spark, tmp_path):
     got = sorted(map(tuple, pairs.itertuples(index=False)))
     # no cross-wave pair (0,10), (0,11), (1,10), (1,11): residents forgotten
     assert got == [(0, 1), (10, 11)]
+
+
+def test_semdedup_stream_equals_batch_on_any_slicing(spark, tmp_path):
+    """Streaming SemDeDup against a frozen codebook: keep decisions are
+    identical across micro-batch slicings (id-ordered arrival) and
+    equal the batch operator's — including a near-dup pair split across
+    batches and a dropped doc suppressing its own later near-dups."""
+    from apm_opentelemetry_collector_spark.operators.dedup import semdedup
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        semdedup_stateful,
+    )
+
+    # two well-separated clusters; ids 0/1 seed batch kmeans into the
+    # same natural partition the frozen means encode
+    X = {0: [1.0, 0.0], 2: [0.99, 0.01], 4: [0.8, -0.55]}
+    Y = {1: [0.0, 1.0], 3: [0.01, 0.99], 5: [-0.55, 0.8]}
+    rows = sorted((i, v) for i, v in {**X, **Y}.items())
+    schema = "vec_id long, embedding array<double>"
+    cents = [
+        [sum(v[d] for v in X.values()) / len(X) for d in (0, 1)],
+        [sum(v[d] for v in Y.values()) / len(Y) for d in (0, 1)],
+    ]
+
+    batch = {
+        r["vec_id"]: r["keep"]
+        for r in semdedup(
+            spark.createDataFrame(rows, schema), threshold=0.9, k=2
+        ).collect()
+    }
+    assert batch == {0: True, 2: False, 4: True, 1: True, 3: False, 5: True}
+
+    for slices in (((0, 6),), ((0, 2), (2, 4), (4, 6))):
+        path = str(tmp_path / f"sd_in_{len(slices)}")
+        for lo, hi in slices:
+            spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            semdedup_stateful(stream, cents, threshold=0.9)
+            .writeStream.format("memory")
+            .queryName(f"sd_out_{len(slices)}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(
+                f"SELECT vec_id, cluster, keep, n_prior_similar"
+                f" FROM sd_out_{len(slices)}"
+            ).toPandas()
+        finally:
+            q.stop()
+        assert dict(zip(got["vec_id"], got["keep"])) == batch
+        # one emission per arrival, cluster-pure: X ids share a cluster
+        # distinct from Y ids
+        assert len(got) == 6
+        cl = dict(zip(got["vec_id"], got["cluster"]))
+        assert {cl[0], cl[2], cl[4]} != {cl[1], cl[3], cl[5]}
+        assert len({cl[0], cl[2], cl[4]}) == 1 and len({cl[1], cl[3], cl[5]}) == 1
+
+
+def test_semdedup_stream_ttl_bounds_horizon(spark, tmp_path):
+    """state_ttl_s drops idle cluster state: a wave-2 duplicate of an
+    EVICTED wave-1 doc is kept (residents forgotten), while its own
+    same-wave duplicate is still dropped."""
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        semdedup_stateful,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "sd_ttl_in")
+    w1 = [(10, [1.0, 0.0]), (11, [0.99, 0.01])]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        semdedup_stateful(stream, [[1.0, 0.0]], threshold=0.9, state_ttl_s=1.0)
+        .writeStream.format("memory")
+        .queryName("sd_ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        ok = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM sd_ttl_out").first()[0] == 2
+        )
+        assert ok, "wave-1 rows never emitted"
+        assert _wait_state_empty(q), "cluster state never evicted"
+        w2 = [(20, [1.0, 0.0]), (21, [0.99, 0.01])]
+        spark.createDataFrame(w2, schema).coalesce(1).write.mode("append").parquet(path)
+        ok = _wait_for(
+            lambda: spark.sql("SELECT count(*) FROM sd_ttl_out").first()[0] == 4
+        )
+        assert ok, "wave-2 rows never emitted"
+        got = spark.sql(
+            "SELECT vec_id, keep FROM sd_ttl_out ORDER BY vec_id"
+        ).toPandas()
+    finally:
+        q.stop()
+    keeps = dict(zip(got["vec_id"], got["keep"]))
+    # 20 is a dup of the EVICTED 10 — kept; 21 pairs with resident 20
+    assert keeps == {10: True, 11: False, 20: True, 21: False}
