@@ -1276,6 +1276,17 @@ def q_decontaminate_splice(spark, sf_dir):
     )
 
 
+def q_trigram_lm_scores(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007) under a
+    target-domain model (trained on the src0 slice — the CCNet setup):
+    S = c123/c12, backing off through 0.4·c23/c2 to 0.16·c3/N with a
+    1/N OOV floor. Count-join-shaped (three map-side aggregates + five
+    token-key hash joins), integer-decided branches, DECIMAL-exact
+    per-doc mean — the KenLM-shaped fluency filter one rung above
+    bigram_lm_scores."""
+    return textfn.trigram_lm_scores(_load(spark, sf_dir, "documents"))
+
+
 def q_curation_funnel(spark, sf_dir):
     """The published curation stack composed as ONE job: C4 line
     filters → Gopher quality on the cleaned text → exact keep-first
@@ -1462,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r6 ------------------------------------------------------
+        "trigram_lm_scores": q_trigram_lm_scores,
         "curation_funnel": q_curation_funnel,
         "exactsubstr_dedup": q_exactsubstr_dedup,
         "span_cores": q_span_cores,
@@ -1507,9 +1519,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership": q_bloom_membership,
         "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
-        # batch shape are covered by pytest oracles instead)
+        # batch shape are covered by pytest oracles instead) — rows-only
+        # entries can never bank a hash-MATCH, so they must STAY inside
+        # the driver's 50-window (tests/test_query_window.py enforces)
         "record_encode_stats": q_record_encode_stats,
         "multimodal_features": q_multimodal_features,
+        "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- new in r3 ------------------------------------------------------
         "weighted_reservoir": q_weighted_reservoir,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -1519,7 +1534,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "events_json_props": q_events_json_props,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
-        "tdigest_value_quantiles": q_tdigest_value_quantiles,  # rows-only
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
         "transcripts_derive": q_transcripts_derive,
@@ -2951,6 +2965,7 @@ WHERE da.source <> db.source""",
         "repeated_spans": dd.repeated_spans_sql(),
         "exactsubstr_dedup": dd.exactsubstr_dedup_sql(),
         "curation_funnel": _curation_funnel_sql(),
+        "trigram_lm_scores": textfn.trigram_lm_scores_sql(),
         "span_cores": dd.span_cores_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "mixture_weights": _mixture_weights_sql(),

@@ -415,6 +415,226 @@ SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY id"""
 
 
+# --- trigram LM with stupid backoff -------------------------------------------
+# Brants et al. 2007 ("Large Language Models in Machine Translation"):
+# S(w3|w1 w2) = c123/c12 when the trigram was seen in training, else
+# alpha * S(w3|w2), recursing to alpha^2 * c3/N at the unigram — the
+# web-scale LM scoring scheme that skips normalization entirely (that
+# is what makes it count-join-shaped and exactly distributable).
+# alpha = 0.4 is the paper's value. An out-of-vocabulary unigram floors
+# at 1/N (frozen choice, fed to both engines). Training runs on a
+# TARGET-DOMAIN slice (the CCNet setup: score fluency under the target
+# LM), which is also what makes backoff genuinely fire — a model
+# trained on the scored corpus itself has c123 > 0 everywhere.
+LM_ALPHA = 0.4
+
+
+def trigram_lm_scores(
+    docs,
+    train_sources: tuple[str, ...] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Per-document mean log stupid-backoff trigram score under an LM
+    trained on `train_sources` — the KenLM-shaped fluency filter
+    (CCNet trains on Wikipedia; here the target slice), one rung above
+    bigram_lm_scores: longer context where evidence exists, graceful
+    count-ratio backoff where it doesn't.
+
+    Spark shape:
+      * tokens and n-grams are per-doc higher-order folds (transform
+        over sequence + element_at — the array never leaves its row)
+        exploded once; training counts (c1, c12, c123, N) are THREE
+        map-side-combinable aggregates over the train slice's token
+        keys plus one bounded total;
+      * scoring LEFT-joins each doc trigram against c123/(c12 ctx)/
+        (c23)/(c2)/(c3) — five hash joins on uniform-ish token keys
+        (Zipf heads handled by AQE, the bigram_lm_scores note), N
+        broadcast;
+      * the branch taken is integer-decided (count > 0), every branch
+        is a count ratio times double alpha literals — identical fp op
+        order in both engines — and the per-doc mean accumulates
+        DECIMAL(28,12) log terms, so the oracle hash is independent of
+        partial-agg order.
+
+    Docs with < 3 tokens yield no trigrams and drop out (the
+    bigram_lm_scores contract). Output: doc_id, n_trigrams, n_hit
+    (trigram-path positions), n_bo1 (bigram backoff), n_bo2 (unigram
+    backoff), avg_logs (double, rounded 6dp; ascending = least fluent
+    under the target LM first).
+    """
+    # default deferred: DSIR_TARGET_SOURCE is defined later in this module
+    train_sources = train_sources or (DSIR_TARGET_SOURCE,)
+    alpha = F.lit(LM_ALPHA)
+    norm = normalized(text_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(source_col).isin(list(train_sources)).alias("is_train"),
+        F.filter(F.split(norm, " "), lambda w: w != "").alias("l"),
+    )
+    tri_expr = F.expr(
+        "transform(sequence(1, size(l) - 2), j -> struct("
+        "element_at(l, j) AS w1, element_at(l, j + 1) AS w2,"
+        " element_at(l, j + 2) AS w3))"
+    )
+    bi_expr = F.expr(
+        "transform(sequence(1, size(l) - 1), j -> struct("
+        "element_at(l, j) AS w1, element_at(l, j + 1) AS w2))"
+    )
+    toks = base.select("id", "is_train", F.explode("l").alias("w"))
+    bis = base.filter(F.size("l") >= 2).select(
+        "is_train", F.explode(bi_expr).alias("g")
+    )
+    tris = base.filter(F.size("l") >= 3).select(
+        "id", "is_train", F.explode(tri_expr).alias("g")
+    ).select("id", "is_train", "g.w1", "g.w2", "g.w3")
+    c1 = (
+        toks.filter("is_train")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    c12 = (
+        bis.filter("is_train")
+        .select("g.w1", "g.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    c123 = (
+        tris.filter("is_train")
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n_tok = toks.filter("is_train").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    sc = (
+        tris.select("id", "w1", "w2", "w3")
+        .join(
+            c123.select("w1", "w2", "w3", F.col("c").alias("c123")),
+            ["w1", "w2", "w3"],
+            "left",
+        )
+        .join(
+            c12.select("w1", "w2", F.col("c").alias("c12")), ["w1", "w2"], "left"
+        )
+        .join(
+            c12.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("c").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(c1.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2", "left")
+        .join(c1.select(F.col("w").alias("w3"), F.col("c").alias("c3")), "w3", "left")
+        .crossJoin(F.broadcast(n_tok))
+    )
+    z = F.lit(0).cast("bigint")
+    c123n = F.coalesce("c123", z)
+    c23n = F.coalesce("c23", z)
+    c3n = F.coalesce("c3", z)
+    s = (
+        F.when(c123n > 0, c123n / F.col("c12"))
+        .when(c23n > 0, alpha * (c23n / F.col("c2")))
+        .otherwise(
+            alpha * alpha * (F.when(c3n > 0, c3n).otherwise(F.lit(1)) / F.col("n"))
+        )
+    )
+    path = F.when(c123n > 0, F.lit(0)).when(c23n > 0, F.lit(1)).otherwise(F.lit(2))
+    scored = sc.select("id", F.log(s).alias("_lp"), path.alias("_p"))
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trigrams"),
+            F.sum((F.col("_p") == 0).cast("bigint")).cast("bigint").alias("n_hit"),
+            F.sum((F.col("_p") == 1).cast("bigint")).cast("bigint").alias("n_bo1"),
+            F.sum((F.col("_p") == 2).cast("bigint")).cast("bigint").alias("n_bo2"),
+            (
+                F.sum(F.col("_lp").cast("decimal(28,12)")).cast("double")
+                / F.count("*")
+            ).alias("_avg"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "n_trigrams",
+            "n_hit",
+            "n_bo1",
+            "n_bo2",
+            F.round("_avg", 6).alias("avg_logs"),
+        )
+    )
+
+
+def trigram_lm_scores_sql(
+    train_sources: tuple[str, ...] | None = None,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of trigram_lm_scores (same tokenize/count/backoff
+    branch order and fp op order; DECIMAL-exact per-doc mean)."""
+    train_sources = train_sources or (DSIR_TARGET_SOURCE,)
+    srcs = ", ".join(f"'{s}'" for s in train_sources)
+    a = "CAST(0.4 AS DOUBLE)"
+    return f"""
+WITH docs_n AS (
+  SELECT {id_col} AS id, {source_col} IN ({srcs}) AS is_train,
+         list_filter(string_split(trim(regexp_replace(lower({text_col}), '\\s+', ' ', 'g')), ' '),
+                     w -> w <> '') AS l
+  FROM {table}
+), toks AS (
+  SELECT id, is_train, unnest(l) AS w FROM docs_n
+), bis AS (
+  SELECT is_train, l[CAST(j AS INTEGER)] AS w1, l[CAST(j AS INTEGER) + 1] AS w2
+  FROM (SELECT is_train, l, unnest(range(1, len(l))) AS j
+        FROM docs_n WHERE len(l) >= 2)
+), tris AS (
+  SELECT id, is_train,
+         l[CAST(j AS INTEGER)] AS w1,
+         l[CAST(j AS INTEGER) + 1] AS w2,
+         l[CAST(j AS INTEGER) + 2] AS w3
+  FROM (SELECT id, is_train, l, unnest(range(1, len(l) - 1)) AS j
+        FROM docs_n WHERE len(l) >= 3)
+), c1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks WHERE is_train GROUP BY w
+), c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM bis WHERE is_train GROUP BY w1, w2
+), c123 AS (
+  SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c FROM tris WHERE is_train GROUP BY w1, w2, w3
+), n_tok AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM toks WHERE is_train
+), sc AS (
+  SELECT t.id,
+         coalesce(g3.c, 0) AS c123, g2a.c AS c12,
+         coalesce(g2b.c, 0) AS c23, u2.c AS c2,
+         coalesce(u3.c, 0) AS c3, n_tok.n AS n
+  FROM tris t
+  LEFT JOIN c123 g3 ON t.w1 = g3.w1 AND t.w2 = g3.w2 AND t.w3 = g3.w3
+  LEFT JOIN c12 g2a ON t.w1 = g2a.w1 AND t.w2 = g2a.w2
+  LEFT JOIN c12 g2b ON t.w2 = g2b.w1 AND t.w3 = g2b.w2
+  LEFT JOIN c1 u2 ON t.w2 = u2.w
+  LEFT JOIN c1 u3 ON t.w3 = u3.w
+  CROSS JOIN n_tok
+), scored AS (
+  SELECT id,
+         ln(CASE WHEN c123 > 0 THEN c123 / c12
+                 WHEN c23 > 0 THEN {a} * (c23 / c2)
+                 ELSE {a} * {a} * ((CASE WHEN c3 > 0 THEN c3 ELSE 1 END) / n)
+            END) AS lp,
+         CASE WHEN c123 > 0 THEN 0 WHEN c23 > 0 THEN 1 ELSE 2 END AS p
+  FROM sc
+)
+SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+       CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo1,
+       CAST(sum(CASE WHEN p = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bo2,
+       round(CAST(sum(CAST(lp AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS avg_logs
+FROM scored GROUP BY id"""
+
+
 # --- Gopher quality rules ----------------------------------------------------
 # The published Gopher pretraining quality heuristics (Rae et al. 2021,
 # "Scaling Language Models: Methods, Analysis & Insights from Training

@@ -1409,3 +1409,45 @@ def test_curation_funnel_stage_semantics(spark):
     assert out["src_b"]["n_after_c4"] == 2
     assert out["src_b"]["n_after_gopher"] == 1    # short doc dropped
     assert out["src_b"]["n_after_dedup"] == 1
+
+
+def test_trigram_lm_stupid_backoff_branches(spark):
+    """Hand-counted stupid-backoff arithmetic: a train doc scores pure
+    trigram hits (S = c123/c12), a held-out doc exercises every branch
+    — seen trigram, bigram backoff (0.4·c23/c2), unigram backoff with
+    and without the OOV 1/N floor — and avg_logs matches the
+    from-the-definition value."""
+    import math
+
+    from apm_opentelemetry_collector_spark.functions.text import (
+        trigram_lm_scores,
+    )
+
+    rows = [
+        (0, "a b c a b d", "train"),   # N=6; c1 a2 b2 c1 d1; ab=2 bc ca bd=1
+        (1, "a b c x b d", "other"),   # abc hit; bcx/cxb bo2; xbd bo1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in trigram_lm_scores(docs, train_sources=("train",)).collect()
+    }
+
+    # train doc: every trigram seen once; contexts ab=2, bc=1, ca=1
+    t0 = out[0]
+    assert (t0["n_hit"], t0["n_bo1"], t0["n_bo2"]) == (4, 0, 0)
+    exp0 = (math.log(1 / 2) + math.log(1 / 1) + math.log(1 / 1) + math.log(1 / 2)) / 4
+    assert abs(t0["avg_logs"] - exp0) < 1e-6
+
+    # held-out doc: abc -> 1/2 (hit); bcx -> unigram OOV floor
+    # 0.4*0.4*(1/6); cxb -> unigram 0.4*0.4*(2/6); xbd -> bigram
+    # backoff 0.4*(bd=1 / b=2)
+    t1 = out[1]
+    assert (t1["n_hit"], t1["n_bo1"], t1["n_bo2"]) == (1, 1, 2)
+    exp1 = (
+        math.log(1 / 2)
+        + math.log(0.4 * 0.4 * (1 / 6))
+        + math.log(0.4 * 0.4 * (2 / 6))
+        + math.log(0.4 * (1 / 2))
+    ) / 4
+    assert abs(t1["avg_logs"] - exp1) < 1e-6

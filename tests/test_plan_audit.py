@@ -244,7 +244,8 @@ def test_new_queries_no_python_nodes(spark):
                  "c4_line_filters", "c4_span_dedup", "dsir_weights",
                  "ccnet_buckets",
                  "ngram_decontaminate", "decontaminate_splice",
-                 "exactsubstr_dedup", "curation_funnel"):
+                 "exactsubstr_dedup", "curation_funnel",
+                 "trigram_lm_scores"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

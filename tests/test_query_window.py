@@ -47,6 +47,7 @@ MUST_BE_IN_WINDOW = {
     "ccnet_buckets",
     "exactsubstr_dedup",
     "curation_funnel",
+    "trigram_lm_scores",
 }
 
 
