@@ -149,15 +149,21 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
             "n_after_gopher"
         ),
     )
-    # keep-first winner per duplicate class as ONE hash aggregate: the
-    # struct min orders by its first field, the unique doc_id, so this
-    # is argmin-by-doc_id with no window sort and no join-back (scalar
-    # struct — hash-aggregable, unlike the array-bearing kmeans case)
+    # keep-first winner per duplicate class as ONE aggregate: min_by on
+    # the unique doc_id is argmin with no window and no join-back. The
+    # string payload makes this a SortAggregate (string/struct buffers
+    # aren't hash-aggregable — the repeated_spans min(span) precedent);
+    # the sort is per-partition on the fp exchange the dedup needs
+    # anyway, cheaper at scale than the join-back that a hash-only
+    # min(doc_id) would buy
     winners = (
         per_doc.filter("keep_both")
         .groupBy("fp")
-        .agg(F.min(F.struct("doc_id", "source", "n_tokens")).alias("w"))
-        .select(F.col("w.source").alias("source"), F.col("w.n_tokens").alias("n_tokens"))
+        .agg(
+            F.min_by("source", "doc_id").alias("source"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        .select("source", "n_tokens")
     )
     wagg = winners.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_after_dedup"),
