@@ -1276,6 +1276,21 @@ def q_decontaminate_splice(spark, sf_dir):
     )
 
 
+def q_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture smoothing (Conneau & Lample 2019 /
+    T5 §3.4.3) at the published T=2: per-source sampling rates that
+    realize smoothed shares ∝ sqrt(tokens) — low-resource sources gain,
+    the binding source keeps rate 1, no upsampling. One map-side
+    groupBy(source); strata-bounded windows; sqrt is the one power both
+    engines round identically, and the smoothed-mass total accumulates
+    DECIMAL so the oracle hash is partial-agg-order-free."""
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(_load(spark, sf_dir, "documents"))
+
+
 def q_trigram_lm_scores(spark, sf_dir):
     """Stupid-backoff trigram LM scoring (Brants et al. 2007) under a
     target-domain model (trained on the src0 slice — the CCNet setup):
@@ -1473,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r6 ------------------------------------------------------
+        "temperature_mixture": q_temperature_mixture,
         "trigram_lm_scores": q_trigram_lm_scores,
         "curation_funnel": q_curation_funnel,
         "exactsubstr_dedup": q_exactsubstr_dedup,
@@ -2346,6 +2362,14 @@ SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2 FROM (
     )
 
 
+def _temperature_mixture_sql() -> str:
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        temperature_mixture_sql,
+    )
+
+    return temperature_mixture_sql()
+
+
 def _curation_funnel_sql() -> str:
     from apm_opentelemetry_collector_spark.operators.curation import (
         curation_funnel_sql,
@@ -2966,6 +2990,7 @@ WHERE da.source <> db.source""",
         "exactsubstr_dedup": dd.exactsubstr_dedup_sql(),
         "curation_funnel": _curation_funnel_sql(),
         "trigram_lm_scores": textfn.trigram_lm_scores_sql(),
+        "temperature_mixture": _temperature_mixture_sql(),
         "span_cores": dd.span_cores_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "mixture_weights": _mixture_weights_sql(),

@@ -276,3 +276,123 @@ def mixture_weights(
         rate.alias("rate"),
         (F.col("tokens") * rate).alias("expected_tokens"),
     )
+
+
+# Temperature-based mixture smoothing (Conneau & Lample 2019 §3.1 /
+# T5, Raffel et al. 2020 §3.4.3 "temperature-scaled mixing"):
+# smoothed_share_s ∝ tokens_s^(1/T). T=1 keeps natural proportions,
+# T→∞ is uniform; T=2 is a published operating point and the ONE
+# exponent whose power is IEEE-correctly-rounded in both engines
+# (sqrt) — the driver query runs T=2 so its oracle is bit-exact.
+# General T uses pow(), which measured equal to DuckDB on most inputs
+# but differs in the last ulp on some (NOT hash-safe; documented).
+MIXTURE_TEMPERATURE = 2.0
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    temperature: float = MIXTURE_TEMPERATURE,
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source sampling rates that realize TEMPERATURE-SMOOTHED token
+    shares — mixture_weights with the target derived from the corpus
+    itself instead of an external weights table: low-resource sources
+    gain share, high-resource sources shrink, the multilingual/
+    multi-domain upsampling policy every large pretraining mix uses.
+
+    rate_s = raw_s / max_t raw_t with raw_s = smoothed_share_s /
+    token_share_s — the binding source keeps everything (rate 1),
+    everything else downsamples proportionally (no upsampling, the
+    mixture_weights contract; epochs-per-source beyond 1 is a
+    data-loader concern).
+
+    Scale shape: ONE map-side-combinable groupBy(source) over the
+    pruned corpus scan; every window below runs on the strata-bounded
+    table (never data-sized). Integer token sums are exact under any
+    partial-agg order; the share divisions run in the same operand
+    order on both engines.
+
+    Output: source, n_docs, tokens, token_share, smoothed_share, rate,
+    expected_tokens.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import token_count
+
+    per = docs.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(text_col)).alias("tokens"),
+    )
+    t = F.col("tokens").cast("double")
+    smoothed = (
+        F.sqrt(t)
+        if float(temperature) == 2.0
+        else F.pow(t, F.lit(1.0 / float(temperature)))
+    )
+    w_all = Window.partitionBy()
+    per = per.withColumn("_sm", smoothed)
+    # the smoothed-mass total is a sum of DOUBLES (sqrt outputs) — raw
+    # double summation is partial-agg-order-dependent, so accumulate
+    # DECIMAL(28,12) (order-free) and divide as double, the
+    # bigram_lm_scores discipline; integer token sums are exact as-is
+    sm_total = (
+        F.sum(F.col("_sm").cast("decimal(28,12)")).over(w_all).cast("double")
+    )
+    per = per.withColumn(
+        "token_share", F.col("tokens") / F.sum("tokens").over(w_all)
+    ).withColumn("smoothed_share", F.col("_sm") / sm_total)
+    raw = F.when(
+        F.col("tokens") > 0,
+        F.col("smoothed_share") / F.col("token_share"),
+    ).otherwise(F.lit(0.0))
+    per = per.withColumn("raw", raw)
+    rate = F.col("raw") / F.max("raw").over(w_all)
+    return per.select(
+        stratum_col,
+        "n_docs",
+        "tokens",
+        "token_share",
+        "smoothed_share",
+        rate.alias("rate"),
+        (F.col("tokens") * rate).alias("expected_tokens"),
+    )
+
+
+def temperature_mixture_sql(
+    temperature: float = MIXTURE_TEMPERATURE,
+    table: str = "documents",
+    stratum_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of temperature_mixture (same aggregate/window/share
+    op order; sqrt path at T=2 is bit-exact, pow path is near-parity)."""
+    from ..functions.text import TOKEN_COUNT_SQL
+
+    tc = TOKEN_COUNT_SQL.format(col=text_col)
+    sm = (
+        "sqrt(CAST(tokens AS DOUBLE))"
+        if float(temperature) == 2.0
+        else f"pow(CAST(tokens AS DOUBLE), CAST({1.0 / float(temperature)!r} AS DOUBLE))"
+    )
+    return f"""
+WITH per AS (
+  SELECT {stratum_col} AS source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({tc}) AS BIGINT) AS tokens
+  FROM {table} GROUP BY {stratum_col}
+), sm AS (
+  SELECT *, {sm} AS _sm FROM per
+), shares AS (
+  SELECT source, n_docs, tokens,
+         tokens / sum(tokens) OVER () AS token_share,
+         _sm / CAST(sum(CAST(_sm AS DECIMAL(28,12))) OVER () AS DOUBLE) AS smoothed_share
+  FROM sm
+), rawed AS (
+  SELECT *, CASE WHEN tokens > 0 THEN smoothed_share / token_share
+                 ELSE CAST(0.0 AS DOUBLE) END AS raw
+  FROM shares
+)
+SELECT source, n_docs, tokens, token_share, smoothed_share,
+       raw / max(raw) OVER () AS rate,
+       tokens * (raw / max(raw) OVER ()) AS expected_tokens
+FROM rawed"""

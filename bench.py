@@ -125,6 +125,7 @@ def main() -> None:
         "exactsubstr_dedup",
         "curation_funnel",
         "trigram_lm_scores",
+        "temperature_mixture",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

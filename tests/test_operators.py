@@ -1451,3 +1451,30 @@ def test_trigram_lm_stupid_backoff_branches(spark):
         + math.log(0.4 * (1 / 2))
     ) / 4
     assert abs(t1["avg_logs"] - exp1) < 1e-6
+
+
+def test_temperature_mixture_t2_smoothing(spark):
+    """T=2 smoothing on a 90/10-token two-source corpus: smoothed
+    shares go ∝ sqrt (0.75/0.25), the low-resource source binds at
+    rate 1, and the big source downsamples to realize the smoothed
+    ratio exactly (hand-computed expectations)."""
+    from apm_opentelemetry_collector_spark.operators.sample import (
+        temperature_mixture,
+    )
+
+    rows = [
+        (1, "big", " ".join(f"w{i}" for i in range(90))),
+        (2, "small", " ".join(f"v{i}" for i in range(10))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["source"]: r.asDict() for r in temperature_mixture(docs).collect()}
+
+    assert out["big"]["tokens"] == 90 and out["small"]["tokens"] == 10
+    assert abs(out["big"]["token_share"] - 0.9) < 1e-12
+    # sqrt smoothing: 9.4868../(9.4868..+3.1622..) = 0.75
+    assert abs(out["big"]["smoothed_share"] - 0.75) < 1e-9
+    assert abs(out["small"]["smoothed_share"] - 0.25) < 1e-9
+    assert out["small"]["rate"] == 1.0
+    # big downsamples to 1/3: smoothed ratio 3:1 over a 9:1 corpus
+    assert abs(out["big"]["rate"] - 1 / 3) < 1e-9
+    assert abs(out["big"]["expected_tokens"] - 30.0) < 1e-6

@@ -48,6 +48,7 @@ MUST_BE_IN_WINDOW = {
     "exactsubstr_dedup",
     "curation_funnel",
     "trigram_lm_scores",
+    "temperature_mixture",
 }
 
 
