@@ -1151,6 +1151,124 @@ def semdedup_stateful(
     )
 
 
+def pack_sequences_stateful(
+    stream: DataFrame,
+    seq_len: int = 256,
+    stream_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_s: float | None = None,
+) -> DataFrame:
+    """Streaming concat-and-chunk sequence packing — the incremental
+    form of operators/pack.pack_sequences: documents arriving on a
+    stream are appended to a per-stream token cursor and emit the same
+    chunk metadata (global token offset, chunk span, boundary-crossing
+    flag) the batch operator computes with its two-pass ranged prefix
+    sum. This is the op a live training-data loader runs: the batch
+    prefix sum needs the whole corpus; the stream needs only ONE LONG
+    of state per stream — the cursor.
+
+    Semantics and contract: token offsets are assigned in ARRIVAL
+    order (ids ascending within a micro-batch; across batches, arrival
+    IS the packing order — the stream defines the concatenation).
+    When arrival respects id order and `stream_col=None` (a single
+    global stream), per-doc rows equal the batch operator's exactly —
+    asserted across micro-batch slicings in tests. Re-delivery is NOT
+    deduplicated (packing is positional; an at-least-once source needs
+    upstream dedup_stream — documented trade, the same reason the
+    batch op keys on a materialized partitioning).
+
+    n_tokens is computed map-side (token_count Column expression)
+    before the one stateful stage. state_ttl_s evicts idle stream
+    cursors (shared _resolve_ttl machinery, processing clock): an
+    evicted stream RESTARTS at token 0 — only sane when streams are
+    session-scoped; leave None for training-corpus packing.
+
+    Output (append): doc_id, stream, n_tokens, start_tok, start_chunk,
+    end_chunk, n_chunks, crosses_boundary — the batch columns plus the
+    stream key.
+    """
+    from ..functions.text import token_count
+
+    ttl_ms, event_ttl, timeout = _resolve_ttl(state_ttl_s, "processing")
+    id_type = stream.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_type),
+            T.StructField("stream", T.StringType()),
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("start_tok", T.LongType()),
+            T.StructField("start_chunk", T.LongType()),
+            T.StructField("end_chunk", T.LongType()),
+            T.StructField("n_chunks", T.LongType()),
+            T.StructField("crosses_boundary", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("cursor", T.LongType())])
+
+    key = (
+        F.col(stream_col).cast("string")
+        if stream_col
+        else F.lit("__all__")
+    )
+    base = stream.select(
+        F.col(id_col).alias("id"),
+        key.alias("stream"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+
+    def pack(key_, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if _evict_if_timed_out(state, ttl_ms):
+            return
+        (cursor,) = state.get if state.exists else (0,)
+        rows: list = []
+        for pdf in pdfs:
+            for i, n in zip(pdf["id"], pdf["n_tokens"]):
+                rows.append(
+                    (
+                        i.item() if hasattr(i, "item") else i,
+                        int(n),
+                    )
+                )
+        rows.sort(key=lambda t: t[0])
+        out = []
+        for i, n in rows:
+            start = cursor
+            sc = start // seq_len
+            if n > 0:
+                ec = (start + n - 1) // seq_len
+                nch = ec - sc + 1
+                crosses = ec > sc
+            else:
+                ec, nch, crosses = sc, 0, False
+            out.append((i, key_[0], n, start, sc, ec, nch, crosses))
+            cursor += n
+        state.update((cursor,))
+        _arm_ttl(state, ttl_ms, event_ttl)
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "stream",
+                    "n_tokens",
+                    "start_tok",
+                    "start_chunk",
+                    "end_chunk",
+                    "n_chunks",
+                    "crosses_boundary",
+                ],
+            )
+
+    return base.groupBy("stream").applyInPandasWithState(
+        pack,
+        out_schema,
+        state_schema,
+        "append",
+        timeout,
+    )
+
+
 def write_sinks_stream(
     routed: DataFrame, out_dir: str, checkpoint_dir: str
 ):

@@ -1822,3 +1822,110 @@ def test_semdedup_stream_ttl_bounds_horizon(spark, tmp_path):
     keeps = dict(zip(got["vec_id"], got["keep"]))
     # 20 is a dup of the EVICTED 10 — kept; 21 pairs with resident 20
     assert keeps == {10: True, 11: False, 20: True, 21: False}
+
+
+def test_pack_sequences_stream_equals_batch_on_any_slicing(spark, tmp_path):
+    """Streaming packing with a single global stream and id-ordered
+    arrival emits exactly the batch pack_sequences rows — global token
+    offsets, chunk spans, and boundary flags — for any micro-batch
+    slicing, including a doc whose span crosses a chunk boundary split
+    from its neighbors and an empty doc occupying no chunk."""
+    from apm_opentelemetry_collector_spark.operators.pack import pack_sequences
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        pack_sequences_stateful,
+    )
+
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(200))),
+        (1, " ".join(f"x{i}" for i in range(100))),   # crosses 256
+        (2, ""),                                        # empty: no chunk
+        (3, " ".join(f"y{i}" for i in range(300))),   # crosses again
+        (4, "one two three"),
+        (5, " ".join(f"z{i}" for i in range(256))),   # exact chunk
+    ]
+    schema = "doc_id long, text string"
+    batch = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(
+            spark.createDataFrame(rows, schema), seq_len=256
+        ).collect()
+    }
+    assert batch[1]["crosses_boundary"] and batch[2]["n_chunks"] == 0
+
+    for slices in (((0, 6),), ((0, 2), (2, 4), (4, 6)), ((0, 1), (1, 6))):
+        path = str(tmp_path / f"pk_in_{len(slices)}_{slices[0][1]}")
+        for lo, hi in slices:
+            spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        qname = f"pk_out_{len(slices)}_{slices[0][1]}"
+        q = (
+            pack_sequences_stateful(stream, seq_len=256)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(f"SELECT * FROM {qname}").toPandas()
+        finally:
+            q.stop()
+        assert len(got) == len(rows)
+        for _, r in got.iterrows():
+            b = batch[r["doc_id"]]
+            for c in ("n_tokens", "start_tok", "start_chunk", "end_chunk",
+                      "n_chunks", "crosses_boundary"):
+                assert r[c] == b[c], (r["doc_id"], c, r[c], b[c])
+
+
+def test_pack_sequences_stream_per_stream_cursors(spark, tmp_path):
+    """stream_col keys independent cursors: two sources interleave
+    arbitrarily but each packs its own contiguous token stream."""
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        pack_sequences_stateful,
+    )
+
+    rows = [
+        (0, "a", "one two three"),
+        (1, "b", "four five"),
+        (2, "a", "six seven eight nine"),
+        (3, "b", "ten"),
+    ]
+    schema = "doc_id long, source string, text string"
+    path = str(tmp_path / "pk_ms_in")
+    for lo, hi in ((0, 2), (2, 4)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        pack_sequences_stateful(stream, seq_len=4, stream_col="source")
+        .writeStream.format("memory")
+        .queryName("pk_ms_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT doc_id, stream, start_tok, n_tokens FROM pk_ms_out ORDER BY doc_id"
+        ).toPandas()
+    finally:
+        q.stop()
+    rows_by_id = {r["doc_id"]: r for _, r in got.iterrows()}
+    # stream a: doc0 at 0 (3 tokens), doc2 at 3; stream b: doc1 at 0
+    # (2 tokens), doc3 at 2
+    assert rows_by_id[0]["start_tok"] == 0 and rows_by_id[0]["stream"] == "a"
+    assert rows_by_id[2]["start_tok"] == 3
+    assert rows_by_id[1]["start_tok"] == 0 and rows_by_id[1]["stream"] == "b"
+    assert rows_by_id[3]["start_tok"] == 2
