@@ -1276,6 +1276,15 @@ def q_decontaminate_splice(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer fertility (subword tokens per whitespace
+    word, chars per subword) under the GPT-2-style pretokenizer proxy —
+    the multilingual tokenizer-health report. Pure map-side counting
+    into one groupBy(lang); integer sums, int/int ratio doubles,
+    bit-exact twin."""
+    return textfn.tokenizer_fertility(_load(spark, sf_dir, "documents"))
+
+
 def q_temperature_mixture(spark, sf_dir):
     """Temperature-scaled mixture smoothing (Conneau & Lample 2019 /
     T5 §3.4.3) at the published T=2: per-source sampling rates that
@@ -1488,6 +1497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r6 ------------------------------------------------------
+        "tokenizer_fertility": q_tokenizer_fertility,
         "temperature_mixture": q_temperature_mixture,
         "trigram_lm_scores": q_trigram_lm_scores,
         "curation_funnel": q_curation_funnel,
@@ -2991,6 +3001,7 @@ WHERE da.source <> db.source""",
         "curation_funnel": _curation_funnel_sql(),
         "trigram_lm_scores": textfn.trigram_lm_scores_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
+        "tokenizer_fertility": textfn.tokenizer_fertility_sql(),
         "span_cores": dd.span_cores_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "mixture_weights": _mixture_weights_sql(),

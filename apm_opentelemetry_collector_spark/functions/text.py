@@ -415,6 +415,72 @@ SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM scored GROUP BY id"""
 
 
+# --- tokenizer fertility -------------------------------------------------------
+
+
+def tokenizer_fertility(
+    docs,
+    text_col: str = "text",
+    lang_col: str = "lang",
+):
+    """Per-language tokenizer fertility — subword tokens per whitespace
+    word (the multilingual-tokenizer health metric: high fertility =
+    the vocabulary serves that language poorly and its token budget
+    buys fewer words), plus chars-per-subword-token. The subword proxy
+    is the repo's GPT-2-style pretokenizer count (bpe_token_count).
+
+    100 TB shape: pure map-side counting expressions (two regexp
+    counts + length) folded by ONE map-side-combinable groupBy(lang) —
+    a handful of output rows regardless of corpus size. All sums are
+    integers (exact under any partial-agg order); the reported ratios
+    are int/int doubles computed in the same operand order on both
+    engines, so the oracle is bit-exact.
+
+    Output: lang, n_docs, ws_tokens, bpe_tokens, n_chars, fertility
+    (bpe/ws), chars_per_bpe (chars/bpe).
+    """
+    per = docs.groupBy(lang_col).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(token_count(text_col)).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe_token_count(text_col)).cast("bigint").alias("bpe_tokens"),
+        F.sum(F.length(text_col).cast("bigint")).cast("bigint").alias("n_chars"),
+    )
+    safe_ws = F.when(F.col("ws_tokens") > 0, F.col("ws_tokens")).otherwise(F.lit(1))
+    safe_bpe = F.when(F.col("bpe_tokens") > 0, F.col("bpe_tokens")).otherwise(F.lit(1))
+    return per.select(
+        lang_col,
+        "n_docs",
+        "ws_tokens",
+        "bpe_tokens",
+        "n_chars",
+        (F.col("bpe_tokens") / safe_ws).alias("fertility"),
+        (F.col("n_chars") / safe_bpe).alias("chars_per_bpe"),
+    )
+
+
+def tokenizer_fertility_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    """DuckDB twin of tokenizer_fertility (same counting expressions
+    and operand order)."""
+    tc = TOKEN_COUNT_SQL.format(col=text_col)
+    bc = bpe_token_count_sql(text_col)
+    return f"""
+WITH per AS (
+  SELECT {lang_col} AS lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum({tc}) AS BIGINT) AS ws_tokens,
+         CAST(sum({bc}) AS BIGINT) AS bpe_tokens,
+         CAST(sum(length({text_col})) AS BIGINT) AS n_chars
+  FROM {table} GROUP BY {lang_col}
+)
+SELECT lang, n_docs, ws_tokens, bpe_tokens, n_chars,
+       bpe_tokens / (CASE WHEN ws_tokens > 0 THEN ws_tokens ELSE 1 END) AS fertility,
+       n_chars / (CASE WHEN bpe_tokens > 0 THEN bpe_tokens ELSE 1 END) AS chars_per_bpe
+FROM per"""
+
+
 # --- trigram LM with stupid backoff -------------------------------------------
 # Brants et al. 2007 ("Large Language Models in Machine Translation"):
 # S(w3|w1 w2) = c123/c12 when the trigram was seen in training, else

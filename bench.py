@@ -126,6 +126,7 @@ def main() -> None:
         "curation_funnel",
         "trigram_lm_scores",
         "temperature_mixture",
+        "tokenizer_fertility",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -1478,3 +1478,28 @@ def test_temperature_mixture_t2_smoothing(spark):
     # big downsamples to 1/3: smoothed ratio 3:1 over a 9:1 corpus
     assert abs(out["big"]["rate"] - 1 / 3) < 1e-9
     assert abs(out["big"]["expected_tokens"] - 30.0) < 1e-6
+
+
+def test_tokenizer_fertility_hand_counts(spark):
+    """Hand-counted fertility: contractions and punctuation inflate the
+    subword count over the whitespace count per the GPT-2 pretokenizer
+    ("don't stop now!" = don / 't / stop / now / ! = 5 subwords over 3
+    words), and per-language rows aggregate independently."""
+    from apm_opentelemetry_collector_spark.functions.text import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        (0, "don't stop now!", "en"),     # 5 bpe / 3 ws / 15 chars
+        (1, "plain words here", "en"),    # 3 bpe / 3 ws / 16 chars
+        (2, "abc 123 x9", "xx"),          # abc,123,x,9 = 4 bpe / 3 ws
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r.asDict() for r in tokenizer_fertility(docs).collect()}
+
+    en = out["en"]
+    assert (en["n_docs"], en["ws_tokens"], en["bpe_tokens"]) == (2, 6, 8)
+    assert en["n_chars"] == len(rows[0][1]) + len(rows[1][1])
+    assert abs(en["fertility"] - 8 / 6) < 1e-12
+    xx = out["xx"]
+    assert (xx["ws_tokens"], xx["bpe_tokens"]) == (3, 4)

@@ -245,7 +245,8 @@ def test_new_queries_no_python_nodes(spark):
                  "ccnet_buckets",
                  "ngram_decontaminate", "decontaminate_splice",
                  "exactsubstr_dedup", "curation_funnel",
-                 "trigram_lm_scores", "temperature_mixture"):
+                 "trigram_lm_scores", "temperature_mixture",
+                 "tokenizer_fertility"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

@@ -49,6 +49,7 @@ MUST_BE_IN_WINDOW = {
     "curation_funnel",
     "trigram_lm_scores",
     "temperature_mixture",
+    "tokenizer_fertility",
 }
 
 
