@@ -1151,6 +1151,64 @@ def semdedup_stateful(
     )
 
 
+def decontaminate_hits_stream(
+    stream: DataFrame,
+    eval_docs: DataFrame,
+    n: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_source_col: str = "source",
+) -> DataFrame:
+    """Streaming exact n-gram decontamination — the incremental form of
+    operators/dedup.ngram_decontaminate: as training documents stream
+    in, each one's word-level n-grams (the SAME md5-keyed higher-order
+    fold as the batch operator) join a STATIC benchmark gram table, so
+    contaminated docs are flagged on ARRIVAL (the eval-hygiene sweep as
+    an admission gate instead of a corpus pass).
+
+    Shape: this is deliberately STATELESS — a stream-static inner join
+    in append mode. The eval side is batch-prepared here (distinct
+    (gram, eval_source)) and re-planned per micro-batch by Spark;
+    AQE/broadcast applies exactly as in the batch operator, and there
+    is no keyed state to bound or evict. One output row per MATCHING
+    GRAM OCCURRENCE (doc_id, eval_source, g): the per-doc aggregate
+    (n_hits, n_distinct_grams) is a downstream batch groupBy — a
+    second stateful stage can't live in the same query, the
+    minhash_candidates_stateful contract — and aggregating the emitted
+    rows reproduces the batch operator's numbers exactly over any
+    micro-batch slicing (tested).
+
+    Output (append): doc_id, eval_source, g.
+    """
+    from ..functions.text import normalized
+    from ..operators.dedup import DECONTAM_N
+
+    n = n or DECONTAM_N
+    grams_expr = F.expr(
+        "transform(sequence(1, size(l) - {n} + 1), "
+        "i -> md5(cast(concat_ws(' ', slice(l, i, {n})) as binary)))".format(
+            n=n
+        )
+    )
+
+    def _grams(df: DataFrame, src_col: str, out_name: str):
+        toks = df.select(
+            F.col(src_col).alias(out_name),
+            F.filter(
+                F.split(normalized(text_col), " "), lambda w: w != ""
+            ).alias("l"),
+        ).filter(F.size("l") >= n)
+        return toks.select(out_name, F.explode(grams_expr).alias("g"))
+
+    ev = (
+        _grams(eval_docs, eval_source_col, "eval_source")
+        .select("g", "eval_source")
+        .distinct()
+    )
+    tr = _grams(stream, id_col, "doc_id")
+    return tr.join(ev, "g").select("doc_id", "eval_source", "g")
+
+
 def pack_sequences_stateful(
     stream: DataFrame,
     seq_len: int = 256,

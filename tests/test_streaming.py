@@ -1929,3 +1929,73 @@ def test_pack_sequences_stream_per_stream_cursors(spark, tmp_path):
     assert rows_by_id[2]["start_tok"] == 3
     assert rows_by_id[1]["start_tok"] == 0 and rows_by_id[1]["stream"] == "b"
     assert rows_by_id[3]["start_tok"] == 2
+
+
+def test_decontaminate_hits_stream_equals_batch(spark, tmp_path):
+    """Stream-static gram-join decontamination: aggregating the emitted
+    per-occurrence hit rows reproduces the batch ngram_decontaminate
+    table exactly over any micro-batch slicing — including a doc whose
+    contaminated sentence arrives in a later batch than a clean doc and
+    a doc hitting two eval sources."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        ngram_decontaminate,
+    )
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        decontaminate_hits_stream,
+    )
+
+    bench_a = "the capital of france is paris " * 3   # >= 13 tokens
+    bench_b = "water boils at one hundred degrees " * 3
+    train_rows = [
+        (0, "clean document about distributed engines " * 4),
+        (1, "intro text " + bench_a + " outro text"),
+        (2, "quotes both " + bench_a + " and " + bench_b + " verbatim"),
+        (3, "another clean one with plenty of words " * 4),
+    ]
+    eval_rows = [(100, bench_a, "evalA"), (101, bench_b, "evalB")]
+    tschema = "doc_id long, text string"
+
+    full = spark.createDataFrame(
+        [(i, t, "train") for i, t in train_rows]
+        + [(i, t, s) for i, t, s in eval_rows],
+        "doc_id long, text string, source string",
+    )
+    batch = {
+        (r["doc_id"], r["eval_source"]): (r["n_hits"], r["n_distinct_grams"])
+        for r in ngram_decontaminate(full, ("evalA", "evalB")).collect()
+    }
+    assert batch and any(k[0] == 2 for k in batch)
+
+    eval_docs = spark.createDataFrame(eval_rows, "doc_id long, text string, source string")
+    for slices in (((0, 4),), ((0, 1), (1, 3), (3, 4))):
+        path = str(tmp_path / f"dc_in_{len(slices)}")
+        for lo, hi in slices:
+            spark.createDataFrame(train_rows[lo:hi], tschema).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        stream = (
+            spark.readStream.schema(tschema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        qname = f"dc_out_{len(slices)}"
+        q = (
+            decontaminate_hits_stream(stream, eval_docs)
+            .writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                (r["doc_id"], r["eval_source"]): (r["n_hits"], r["nd"])
+                for r in spark.sql(
+                    f"SELECT doc_id, eval_source, count(*) AS n_hits,"
+                    f" count(DISTINCT g) AS nd FROM {qname}"
+                    f" GROUP BY doc_id, eval_source"
+                ).collect()
+            }
+        finally:
+            q.stop()
+        assert got == batch
