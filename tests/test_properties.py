@@ -241,3 +241,90 @@ def test_repeated_spans_matches_python_reference(spark, texts, seed_len):
     }
     want = _spans_reference(texts, seed_len, min_len, min_docs)
     assert got == want
+
+
+# --- exactsubstr_dedup vs an INDEPENDENT pure-Python reference ---------------
+# Same rationale as the repeated_spans reference above: the DuckDB twin
+# shares the operator's windows → hot → islands → complement structure;
+# this implements the removal semantics from the definition alone.
+
+
+def _exactsubstr_reference(texts, seed_len, min_len, min_copies):
+    import re
+    from collections import Counter
+
+    norm = {
+        i: re.sub(r"\s+", " ", t.lower()).strip() for i, t in enumerate(texts)
+    }
+    seed_count = Counter()
+    for s in norm.values():
+        for p in range(len(s) - seed_len + 1):
+            seed_count[s[p : p + seed_len]] += 1
+    hot = {g for g, c in seed_count.items() if c >= min_copies}
+    out = {}
+    for i, s in norm.items():
+        positions = [
+            p for p in range(len(s) - seed_len + 1) if s[p : p + seed_len] in hot
+        ]
+        runs = []
+        for p in positions:
+            if runs and p == runs[-1][1] + 1:
+                runs[-1] = (runs[-1][0], p)
+            else:
+                runs.append((p, p))
+        iv = [
+            (p0, p1 + seed_len - 1)
+            for p0, p1 in runs
+            if (p1 + seed_len - 1) - p0 + 1 >= min_len
+        ]
+        cleaned, cur = [], 0
+        for lo, hi in iv:
+            cleaned.append(s[cur:lo])
+            cur = hi + 1
+        cleaned.append(s[cur:])
+        out[i] = (
+            len(s),
+            sum(hi - lo + 1 for lo, hi in iv),
+            len(iv),
+            bool(iv),
+            "".join(cleaned),
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab x", min_size=0, max_size=60),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=3, max_value=6),
+)
+def test_exactsubstr_dedup_matches_python_reference(spark, texts, seed_len):
+    """Random tiny-alphabet corpora (forced repeats, within-doc repeats,
+    whitespace runs, empty docs): the Spark rewrite's full row map
+    (n_chars, n_removed_chars, n_spans_removed, changed, cleaned_text)
+    must equal the from-the-definition Python reference exactly."""
+    from apm_opentelemetry_collector_spark.operators.dedup import (
+        exactsubstr_dedup,
+    )
+
+    min_len, min_copies = seed_len + 2, 2
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_chars"],
+            r["n_removed_chars"],
+            r["n_spans_removed"],
+            r["changed"],
+            r["cleaned_text"],
+        )
+        for r in exactsubstr_dedup(
+            docs, seed_len=seed_len, min_len=min_len, min_copies=min_copies
+        ).collect()
+    }
+    want = _exactsubstr_reference(texts, seed_len, min_len, min_copies)
+    assert got == want
