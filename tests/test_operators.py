@@ -1503,3 +1503,44 @@ def test_tokenizer_fertility_hand_counts(spark):
     assert abs(en["fertility"] - 8 / 6) < 1e-12
     xx = out["xx"]
     assert (xx["ws_tokens"], xx["bpe_tokens"]) == (3, 4)
+
+
+def test_curate_job_cli_consistent_with_funnel_query(spark, tmp_path, monkeypatch):
+    """The spark-submit curation runner's written outputs agree with the
+    curation_funnel operator: same per-stage totals, n_final == rows in
+    the cleaned parquet, and the summary JSON matches the funnel table."""
+    import json
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import curate_job
+
+    out = str(tmp_path / "curated")
+    monkeypatch.setattr(
+        sys,
+        "argv",
+        ["curate_job.py", "--input", "/root/testdata/sf0.001",
+         "--output", out, "--demo-lined"],
+    )
+    curate_job.main()
+
+    from apm_opentelemetry_collector_spark.operators.curation import (
+        curation_funnel,
+        curation_lined,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    funnel = {
+        r["source"]: r.asDict()
+        for r in curation_funnel(curation_lined(docs)).collect()
+    }
+    summary = json.load(open(f"{out}/_summary.json"))
+    cleaned = spark.read.parquet(f"{out}/cleaned")
+    assert summary["totals"]["n_final"] == cleaned.count()
+    for src, row in summary["sources"].items():
+        q = funnel[src]
+        assert row["n_raw"] == q["n_raw"]
+        assert row["n_after_c4"] == q["n_after_c4"]
+        assert row["n_after_gopher"] == q["n_after_gopher"]
+        assert row["n_final"] == q["n_after_dedup"]
+        assert row["tokens_final"] == q["tokens_kept"]
