@@ -1276,6 +1276,37 @@ def q_decontaminate_splice(spark, sf_dir):
     )
 
 
+def q_fineweb_filters(spark, sf_dir):
+    """FineWeb custom filters (Penedo et al. 2024): punct-ending line
+    fraction >= 0.12, duplicated-line char fraction <= 0.10, short-line
+    (<30 chars) fraction < 0.67 — the third published rule set after
+    Gopher/C4. The corpus is single-line soup, so the query fabricates
+    4 deterministic lines per doc with branches that cross each rule:
+    doc_id%5==0 strips terminal punctuation (punct rule), %7==0 swaps
+    three lines for short stubs (short rule), %11==0 duplicates line 1
+    (dup-chars rule). Same construction in the oracle pre-CTE."""
+    did = F.col("doc_id")
+    p = F.when(did % 5 == 0, F.lit("")).otherwise(F.lit("."))
+    half = F.expr("substring(text, 1, CAST(length(text) AS BIGINT) DIV 2)")
+    sliced = F.expr(
+        "array_join(slice(split(text, ' '), 1, CAST(doc_id % 8 AS INT) + 2), ' ')"
+    )
+    l1 = F.concat(F.col("text"), p)
+    l2 = F.when(did % 7 == 0, F.lit("a b")).otherwise(F.concat(half, p))
+    l3 = F.when(did % 7 == 0, F.lit("c d")).otherwise(F.concat(sliced, p))
+    l4 = (
+        F.when(did % 11 == 0, l1)
+        .when(did % 7 == 0, F.lit("e f"))
+        .otherwise(F.lit("tail words enough to be long line here"))
+    )
+    nl = F.lit("\n")
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(l1, nl, l2, nl, l3, nl, l4).alias("text"),
+    )
+    return textfn.fineweb_filters(docs)
+
+
 def q_tokenizer_fertility(spark, sf_dir):
     """Per-language tokenizer fertility (subword tokens per whitespace
     word, chars per subword) under the GPT-2-style pretokenizer proxy —
@@ -1497,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r6 ------------------------------------------------------
+        "fineweb_filters": q_fineweb_filters,
         "tokenizer_fertility": q_tokenizer_fertility,
         "temperature_mixture": q_temperature_mixture,
         "trigram_lm_scores": q_trigram_lm_scores,
@@ -3002,6 +3034,24 @@ WHERE da.source <> db.source""",
         "trigram_lm_scores": textfn.trigram_lm_scores_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
         "tokenizer_fertility": textfn.tokenizer_fertility_sql(),
+        "fineweb_filters": textfn.fineweb_filters_sql(
+            table="lined",
+            pre_cte=(
+                "lined AS (SELECT doc_id,"
+                " text || p || chr(10) ||"
+                " CASE WHEN doc_id % 7 = 0 THEN 'a b'"
+                " ELSE substr(text, 1, length(text) // 2) || p END || chr(10) ||"
+                " CASE WHEN doc_id % 7 = 0 THEN 'c d'"
+                " ELSE array_to_string(string_split(text, ' ')"
+                "[1:CAST(doc_id % 8 AS INT) + 2], ' ') || p END || chr(10) ||"
+                " CASE WHEN doc_id % 11 = 0 THEN text || p"
+                " WHEN doc_id % 7 = 0 THEN 'e f'"
+                " ELSE 'tail words enough to be long line here' END AS text"
+                " FROM (SELECT doc_id, text,"
+                " CASE WHEN doc_id % 5 = 0 THEN '' ELSE '.' END AS p"
+                " FROM documents))"
+            ),
+        ),
         "span_cores": dd.span_cores_sql(),
         "pack_sequences": _pack_sequences_sql(),
         "mixture_weights": _mixture_weights_sql(),

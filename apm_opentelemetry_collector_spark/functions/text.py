@@ -938,6 +938,116 @@ SELECT {id_col}, n_lines, n_kept_lines, cleaned_text, has_lorem, has_brace,
 FROM m"""
 
 
+# --- FineWeb custom filters ----------------------------------------------------
+# The three custom heuristics FineWeb (Penedo et al. 2024, "The FineWeb
+# Datasets") adds ON TOP of its Gopher/C4 stages — developed against
+# Gopher-rule failure modes on Common Crawl:
+#   drop when the fraction of lines ending in punctuation is < 0.12;
+#   drop when the fraction of chars in duplicated lines is > 0.10;
+#   drop when the fraction of lines shorter than 30 chars is >= 0.67.
+# "Ends in punctuation" is frozen to the C4 terminal set (the paper
+# inherits C4's notion). All thresholds are integer cross-multiplied —
+# constants feed BOTH engines.
+FINEWEB_PUNCT_FRAC = (25, 3)     # keep: 25*n_punct >= 3*n_lines  (>= 0.12)
+FINEWEB_DUP_CHAR_FRAC = (10, 1)  # keep: 10*dup_chars <= 1*total  (<= 0.10)
+FINEWEB_SHORT_LINE_CHARS = 30
+FINEWEB_SHORT_FRAC = (100, 67)   # keep: 100*n_short < 67*n_lines (< 0.67)
+
+
+def fineweb_filters(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
+    """The FineWeb custom line-statistics filters as per-rule booleans +
+    keep — the third published rule set (after Gopher App. A1 and C4
+    §2.2) a curation stack layers, targeting list-like and
+    boilerplate-heavy pages the earlier rules pass.
+
+    100 TB shape: one pruned corpus scan, every statistic a per-doc
+    higher-order list fold (filter/length/array_distinct — nothing
+    leaves its row), zero shuffles, no Python; booleans by integer
+    cross-multiplication ⇒ bit-exact DuckDB twin.
+
+    Output: id_cols…, n_lines, n_punct_lines, n_short_lines,
+    line_chars, dup_line_chars, punct_line_frac, short_line_frac,
+    dup_char_frac, pass_punct_lines, pass_dup_chars, pass_short_lines,
+    keep.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines).cast("bigint")
+    n_punct = F.size(
+        F.filter(lines, lambda x: x.rlike(C4_TERMINAL_RE))
+    ).cast("bigint")
+    n_short = F.size(
+        F.filter(lines, lambda x: F.length(x) < FINEWEB_SHORT_LINE_CHARS)
+    ).cast("bigint")
+    total = _arr_chars(lines)
+    dup = total - _arr_chars(F.array_distinct(lines))
+    pn, pd_ = FINEWEB_PUNCT_FRAC
+    dn, dd = FINEWEB_DUP_CHAR_FRAC
+    sn, sd = FINEWEB_SHORT_FRAC
+    safe_total = F.when(total > 0, total).otherwise(F.lit(1))
+    passes = {
+        "pass_punct_lines": pn * n_punct >= pd_ * n_lines,
+        "pass_dup_chars": dn * dup <= dd * total,
+        "pass_short_lines": sn * n_short < sd * n_lines,
+    }
+    keep = None
+    for b in passes.values():
+        keep = b if keep is None else (keep & b)
+    return df.select(
+        *id_cols,
+        n_lines.alias("n_lines"),
+        n_punct.alias("n_punct_lines"),
+        n_short.alias("n_short_lines"),
+        total.alias("line_chars"),
+        dup.alias("dup_line_chars"),
+        (n_punct / n_lines).alias("punct_line_frac"),
+        (n_short / n_lines).alias("short_line_frac"),
+        (dup / safe_total).alias("dup_char_frac"),
+        *[expr.alias(name) for name, expr in passes.items()],
+        keep.alias("keep"),
+    )
+
+
+def fineweb_filters_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    col: str = "text",
+    pre_cte: str | None = None,
+) -> str:
+    """DuckDB twin of fineweb_filters (same list folds — list_filter /
+    list_transform + list_sum / list_distinct; integer sums are
+    order-free so list_distinct's unspecified order is immaterial)."""
+    pre = f"{pre_cte}, " if pre_cte else ""
+    ls = f"string_split({col}, chr(10))"
+    chars = "CAST(coalesce(list_sum(list_transform({l}, x -> length(x))), 0) AS BIGINT)"
+    pn, pd_ = FINEWEB_PUNCT_FRAC
+    dn, dd = FINEWEB_DUP_CHAR_FRAC
+    sn, sd = FINEWEB_SHORT_FRAC
+    conds = {
+        "pass_punct_lines": f"({pn} * n_punct_lines >= {pd_} * n_lines)",
+        "pass_dup_chars": f"({dn} * dup_line_chars <= {dd} * line_chars)",
+        "pass_short_lines": f"({sn} * n_short_lines < {sd} * n_lines)",
+    }
+    pass_cols = ",\n  ".join(f"{c} AS {name}" for name, c in conds.items())
+    keep = " AND ".join(conds.values())
+    return f"""
+WITH {pre}m AS (
+  SELECT {id_col},
+    CAST(len({ls}) AS BIGINT) AS n_lines,
+    CAST(len(list_filter({ls}, x -> regexp_matches(x, '{C4_TERMINAL_RE}'))) AS BIGINT) AS n_punct_lines,
+    CAST(len(list_filter({ls}, x -> length(x) < {FINEWEB_SHORT_LINE_CHARS})) AS BIGINT) AS n_short_lines,
+    {chars.format(l=ls)} AS line_chars,
+    {chars.format(l=ls)} - {chars.format(l=f"list_distinct({ls})")} AS dup_line_chars
+  FROM {table}
+)
+SELECT {id_col}, n_lines, n_punct_lines, n_short_lines, line_chars, dup_line_chars,
+  n_punct_lines / n_lines AS punct_line_frac,
+  n_short_lines / n_lines AS short_line_frac,
+  dup_line_chars / (CASE WHEN line_chars > 0 THEN line_chars ELSE 1 END) AS dup_char_frac,
+  {pass_cols},
+  ({keep}) AS keep
+FROM m"""
+
+
 # --- DSIR importance weights -------------------------------------------------
 # Data Selection via Importance Resampling (Xie et al. 2023): score every
 # document by how much more likely its hashed-unigram features are under

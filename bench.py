@@ -127,6 +127,7 @@ def main() -> None:
         "trigram_lm_scores",
         "temperature_mixture",
         "tokenizer_fertility",
+        "fineweb_filters",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

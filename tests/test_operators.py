@@ -1544,3 +1544,39 @@ def test_curate_job_cli_consistent_with_funnel_query(spark, tmp_path, monkeypatc
         assert row["n_after_gopher"] == q["n_after_gopher"]
         assert row["n_final"] == q["n_after_dedup"]
         assert row["tokens_final"] == q["tokens_kept"]
+
+
+def test_fineweb_filters_rule_semantics(spark):
+    """Hand-built docs crossing each FineWeb rule exactly: a no-punct
+    doc fails the 0.12 punct-line rule, a doc whose duplicated line is
+    >10% of its chars fails the dup-chars rule, a doc of mostly <30-char
+    lines fails the 0.67 short-line rule, and a clean doc keeps."""
+    from apm_opentelemetry_collector_spark.functions.text import (
+        fineweb_filters,
+    )
+
+    long_line = "this is a long enough line of ordinary prose text."
+    rows = [
+        (0, "\n".join([long_line] * 3 + ["another distinct long closing line."])),
+        (1, "\n".join([long_line.rstrip(".")] * 1
+                      + ["second line without terminal punct here",
+                         "third line also with no punctuation mark",
+                         "fourth line still not ending in punct"])),
+        (2, "\n".join([long_line, long_line,
+                       "a different long line to pad the total chars."])),
+        (3, "\n".join(["a b", "c d", "e f", long_line])),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r.asDict() for r in fineweb_filters(docs).collect()}
+
+    # doc 0: dup! 3 copies of long_line → dup chars = 2*len >> 10%
+    assert not out[0]["pass_dup_chars"] and not out[0]["keep"]
+    assert out[0]["pass_punct_lines"] and out[0]["pass_short_lines"]
+    # doc 1: zero punct-ending lines → 0 < 0.12
+    assert not out[1]["pass_punct_lines"] and not out[1]["keep"]
+    # doc 2: one duplicated copy of long_line (~33% of chars) → fails
+    # dup; punct fine; shorts fine
+    assert not out[2]["pass_dup_chars"]
+    # doc 3: 3 of 4 lines shorter than 30 chars → 0.75 >= 0.67
+    assert not out[3]["pass_short_lines"] and not out[3]["keep"]
+    assert out[3]["n_short_lines"] == 3

@@ -50,6 +50,7 @@ MUST_BE_IN_WINDOW = {
     "trigram_lm_scores",
     "temperature_mixture",
     "tokenizer_fertility",
+    "fineweb_filters",
 }
 
 
