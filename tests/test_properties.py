@@ -328,3 +328,66 @@ def test_exactsubstr_dedup_matches_python_reference(spark, texts, seed_len):
     }
     want = _exactsubstr_reference(texts, seed_len, min_len, min_copies)
     assert got == want
+
+
+# --- c4_span_dedup vs an INDEPENDENT pure-Python reference -------------------
+
+
+def _c4_span_reference(texts, n=3):
+    from collections import defaultdict
+
+    lines = {i: t.split("\n") for i, t in enumerate(texts)}
+    removed: dict[int, set] = defaultdict(set)
+    seen = set()
+    for i in sorted(lines):
+        ls = lines[i]
+        for j in range(len(ls) - n + 1):
+            key = "\n".join(ls[j : j + n])
+            if key in seen:
+                removed[i].update(range(j, j + n))
+            else:
+                seen.add(key)
+    out = {}
+    for i, ls in lines.items():
+        rm = removed.get(i, set())
+        kept = [l for k, l in enumerate(ls) if k not in rm]
+        out[i] = (
+            len(ls),
+            len(rm),
+            bool(rm),
+            "\n".join(kept) if rm else texts[i],
+        )
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "ab", "x", ""]), min_size=0, max_size=8
+        ).map("\n".join),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_c4_span_dedup_matches_python_reference(spark, texts):
+    """Random tiny-line corpora (forced duplicate 3-line windows, empty
+    lines, short docs): c4_span_dedup's (n_lines, n_removed_lines,
+    changed, cleaned_text) per doc must equal the from-the-definition
+    global-first-occurrence reference exactly."""
+    from apm_opentelemetry_collector_spark.operators.dedup import c4_span_dedup
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_lines"],
+            r["n_removed_lines"],
+            r["changed"],
+            r["cleaned_text"],
+        )
+        for r in c4_span_dedup(docs).collect()
+    }
+    want = _c4_span_reference(texts)
+    assert got == want
