@@ -1276,6 +1276,30 @@ def q_decontaminate_splice(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (RefinedWeb §3.2 — the stage BEFORE content
+    dedup): normalize scheme/www/query/fragment/trailing-slash, keep
+    the smallest doc_id per normalized URL. The corpus has no URL
+    column, so the query fabricates deterministic crawl-style URLs
+    whose noise components vary by doc_id mods (www on %4, utm query
+    on %3, fragment on %5) while the (site, path) identity collides
+    across docs — real dedup classes with cosmetic variants inside
+    them. Same construction in the oracle pre-CTE."""
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("Site"),
+        (did % 23).cast("string"),
+        F.lit(".example.com/path/"),
+        (did % 7).cast("string"),
+        F.when(did % 3 == 0, F.concat(F.lit("?utm=x"), did.cast("string"))).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    docs = _load(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return dd.url_dedup(docs)
+
+
 def q_fineweb_filters(spark, sf_dir):
     """FineWeb custom filters (Penedo et al. 2024): punct-ending line
     fraction >= 0.12, duplicated-line char fraction <= 0.10, short-line
@@ -1528,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # --- new in r6 ------------------------------------------------------
+        "url_dedup": q_url_dedup,
         "fineweb_filters": q_fineweb_filters,
         "tokenizer_fertility": q_tokenizer_fertility,
         "temperature_mixture": q_temperature_mixture,
@@ -3034,6 +3059,20 @@ WHERE da.source <> db.source""",
         "trigram_lm_scores": textfn.trigram_lm_scores_sql(),
         "temperature_mixture": _temperature_mixture_sql(),
         "tokenizer_fertility": textfn.tokenizer_fertility_sql(),
+        "url_dedup": dd.url_dedup_sql(
+            table="urled",
+            pre_cte=(
+                "urled AS (SELECT doc_id,"
+                " 'https://' ||"
+                " CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END ||"
+                " 'Site' || CAST(doc_id % 23 AS VARCHAR) ||"
+                " '.example.com/path/' || CAST(doc_id % 7 AS VARCHAR) ||"
+                " CASE WHEN doc_id % 3 = 0 THEN '?utm=x' || CAST(doc_id AS VARCHAR)"
+                " ELSE '' END ||"
+                " CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url"
+                " FROM documents)"
+            ),
+        ),
         "fineweb_filters": textfn.fineweb_filters_sql(
             table="lined",
             pre_cte=(

@@ -1960,6 +1960,95 @@ LEFT JOIN rm_cnt r ON b.id = r.id
 LEFT JOIN cleaned c ON b.id = c.id"""
 
 
+# URL-level dedup (RefinedWeb, Penedo et al. 2023 §3.2: URL dedup runs
+# BEFORE any content dedup — re-crawls and trivially mirrored pages are
+# the cheapest duplicates to kill). Normalization is the standard
+# crawl-pipeline form, frozen here and fed to both engines: lowercase,
+# drop scheme, drop a leading www., drop query string and fragment,
+# drop a trailing slash.
+URL_STRIP_QF_RE = r"[?#].*$"
+URL_STRIP_SCHEME_RE = r"^https?://"
+URL_STRIP_WWW_RE = r"^www\."
+URL_STRIP_SLASH_RE = r"/$"
+
+
+def normalized_url(url) -> "F.Column":
+    u = F.col(url) if isinstance(url, str) else url
+    u = F.lower(u)
+    u = F.regexp_replace(u, URL_STRIP_QF_RE, "")
+    u = F.regexp_replace(u, URL_STRIP_SCHEME_RE, "")
+    u = F.regexp_replace(u, URL_STRIP_WWW_RE, "")
+    return F.regexp_replace(u, URL_STRIP_SLASH_RE, "")
+
+
+def normalized_url_sql(col: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        f"lower({col}), '{URL_STRIP_QF_RE}', ''), "
+        f"'{URL_STRIP_SCHEME_RE}', ''), '{URL_STRIP_WWW_RE}', ''), "
+        f"'{URL_STRIP_SLASH_RE}', '')"
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level deduplication — the RefinedWeb pipeline's FIRST dedup
+    stage: normalize each document's URL (scheme/www/query/fragment/
+    trailing-slash stripped, lowercased), group identical normalized
+    URLs, keep the smallest doc_id per group. Runs before content
+    dedup because it needs no text at all — the cheapest pass in the
+    stack.
+
+    Spark shape: normalization is pure regexp projection; the ONE
+    shuffle is a keys-only window over (norm_url) carrying (doc_id,
+    host) — never text; host is the prefix up to the first '/' of the
+    normalized form (split, not a second regex pass).
+
+    Output: doc_id, norm_url, host, n_dups (group size), keep
+    (smallest id in group).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        normalized_url(url_col).alias("norm_url"),
+    ).withColumn("host", F.split(F.col("norm_url"), "/").getItem(0))
+    w = Window.partitionBy("norm_url")
+    return base.select(
+        "doc_id",
+        "norm_url",
+        "host",
+        F.count("*").over(w).cast("bigint").alias("n_dups"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+def url_dedup_sql(
+    table: str = "documents",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    pre_cte: str | None = None,
+) -> str:
+    """DuckDB twin of url_dedup (same regexp chain and keep rule)."""
+    pre = f"{pre_cte}, " if pre_cte else ""
+    return f"""
+WITH {pre}base AS (
+  SELECT {id_col} AS doc_id,
+         {normalized_url_sql(url_col)} AS norm_url
+  FROM {table}
+), hosted AS (
+  SELECT doc_id, norm_url, string_split(norm_url, '/')[1] AS host
+  FROM base
+)
+SELECT doc_id, norm_url, host,
+       CAST(count(*) OVER (PARTITION BY norm_url) AS BIGINT) AS n_dups,
+       (doc_id = min(doc_id) OVER (PARTITION BY norm_url)) AS keep
+FROM hosted"""
+
+
 # ExactSubstr removal (Lee et al. 2022, "Deduplicating Training Data
 # Makes Language Models Better", §4.1 + the released
 # deduplicate-text-datasets tool): every character that is part of a

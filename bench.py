@@ -128,6 +128,7 @@ def main() -> None:
         "temperature_mixture",
         "tokenizer_fertility",
         "fineweb_filters",
+        "url_dedup",
     ]
     # Per-query: best-of-REPS, INTERLEAVED round-robin so a transient host
     # slowdown (documented 3-5× contention spikes) hits all queries alike

@@ -1580,3 +1580,27 @@ def test_fineweb_filters_rule_semantics(spark):
     # doc 3: 3 of 4 lines shorter than 30 chars → 0.75 >= 0.67
     assert not out[3]["pass_short_lines"] and not out[3]["keep"]
     assert out[3]["n_short_lines"] == 3
+
+
+def test_url_dedup_normalization_and_keep(spark):
+    """Hand URLs: scheme/case/www/query/fragment/trailing-slash
+    variants collapse to one class keeping the smallest doc_id; a
+    genuinely different path stays its own class; host extraction."""
+    from apm_opentelemetry_collector_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "https://WWW.Example.com/A/B?utm=1#top"),
+        (2, "http://example.com/a/b/"),
+        (3, "example.com/a/b"),
+        (4, "https://example.com/a/c"),
+        (5, "https://www.other.org/"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    out = {r["doc_id"]: r.asDict() for r in url_dedup(docs).collect()}
+
+    assert out[1]["norm_url"] == out[2]["norm_url"] == out[3]["norm_url"] == "example.com/a/b"
+    assert out[1]["keep"] and not out[2]["keep"] and not out[3]["keep"]
+    assert out[1]["n_dups"] == 3
+    assert out[4]["keep"] and out[4]["n_dups"] == 1
+    assert out[4]["host"] == "example.com"
+    assert out[5]["norm_url"] == "other.org" and out[5]["host"] == "other.org"

@@ -246,7 +246,7 @@ def test_new_queries_no_python_nodes(spark):
                  "ngram_decontaminate", "decontaminate_splice",
                  "exactsubstr_dedup", "curation_funnel",
                  "trigram_lm_scores", "temperature_mixture",
-                 "tokenizer_fertility", "fineweb_filters"):
+                 "tokenizer_fertility", "fineweb_filters", "url_dedup"):
         plan = plan_of(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
 

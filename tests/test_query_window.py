@@ -51,6 +51,7 @@ MUST_BE_IN_WINDOW = {
     "temperature_mixture",
     "tokenizer_fertility",
     "fineweb_filters",
+    "url_dedup",
 }
 
 
