@@ -1999,3 +1999,61 @@ def test_decontaminate_hits_stream_equals_batch(spark, tmp_path):
         finally:
             q.stop()
         assert got == batch
+
+
+def test_pack_sequences_stream_cursor_survives_restart(spark, tmp_path):
+    """Kill the packing query after wave 1 and restart from the same
+    checkpoint: wave-2 docs continue at the cursor wave 1 left (global
+    offsets keep accumulating), proving the ONE long of stream state
+    rides the checkpoint, not the process."""
+    from apm_opentelemetry_collector_spark.streaming.stream_pipeline import (
+        pack_sequences_stateful,
+    )
+
+    schema = "doc_id long, text string"
+    inp = str(tmp_path / "pkr_in")
+    outp = str(tmp_path / "pkr_out")
+    ckpt = str(tmp_path / "pkr_ckpt")
+    w1 = [(0, " ".join(f"w{i}" for i in range(100))),
+          (1, " ".join(f"x{i}" for i in range(60)))]
+    spark.createDataFrame(w1, schema).coalesce(1).write.mode("append").parquet(inp)
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(inp)
+        )
+        return (
+            pack_sequences_stateful(stream, seq_len=64)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    w2 = [(2, " ".join(f"y{i}" for i in range(40)))]
+    spark.createDataFrame(w2, schema).coalesce(1).write.mode("append").parquet(inp)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in spark.read.parquet(outp).collect()
+    }
+    assert got[0]["start_tok"] == 0 and got[1]["start_tok"] == 100
+    # the restarted query resumed the cursor at 160, not 0
+    assert got[2]["start_tok"] == 160
+    # tokens 160..199 span chunks 2..3 of the 64-token grid
+    assert got[2]["start_chunk"] == 2 and got[2]["end_chunk"] == 3
+    assert got[2]["n_chunks"] == 2 and got[2]["crosses_boundary"]
