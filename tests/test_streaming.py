@@ -2057,3 +2057,59 @@ def test_pack_sequences_stream_cursor_survives_restart(spark, tmp_path):
     # tokens 160..199 span chunks 2..3 of the 64-token grid
     assert got[2]["start_chunk"] == 2 and got[2]["end_chunk"] == 3
     assert got[2]["n_chunks"] == 2 and got[2]["crosses_boundary"]
+
+
+def test_curation_scorers_run_on_streams(spark, tmp_path):
+    """The doc-local curation scorers (c4_line_filters, gopher_quality,
+    fineweb_filters) are pure projections, so they run UNCHANGED on a
+    streaming DataFrame — the admission-gate deployment — and emit
+    exactly the batch rows."""
+    from apm_opentelemetry_collector_spark.functions.text import (
+        c4_line_filters,
+        fineweb_filters,
+        gopher_quality,
+    )
+
+    good = (
+        "the pipeline reads every record and that is the point of the "
+        "whole exercise because we want clean data for training runs.\n"
+        "it should be obvious that each of these lines ends with a "
+        "proper sentence terminator and has plenty of ordinary words.\n"
+        "finally the document closes with one more full sentence so "
+        "the line filters keep at least three of them intact."
+    )
+    rows = [(0, good), (1, "short { code }"), (2, "no punct\nstill none")]
+    schema = "doc_id long, text string"
+    path = str(tmp_path / "gate_in")
+    for lo, hi in ((0, 2), (2, 3)):
+        spark.createDataFrame(rows[lo:hi], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    batch_df = spark.createDataFrame(rows, schema)
+
+    for name, op in (
+        ("c4", c4_line_filters),
+        ("gq", gopher_quality),
+        ("fw", fineweb_filters),
+    ):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(f"gate_{name}")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            got = spark.sql(f"SELECT * FROM gate_{name}").toPandas()
+        finally:
+            q.stop()
+        want = op(batch_df).toPandas()
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        want = want.sort_values("doc_id").reset_index(drop=True)
+        assert got.equals(want), name
