@@ -1169,23 +1169,16 @@ def q_c4_line_filters(spark, sf_dir):
     leading slice — each period-terminated). The operator then drops
     the stub (< 5 words), keeps the full/half lines, and keeps or drops
     the sliced line by its doc_id-modulated word count, so
-    n_kept_lines and keep genuinely vary per doc. Same construction in
-    the oracle's pre-CTE; rules stay the published constants."""
-    docs = _load(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(".\na b.\n"),
-            F.expr("substring(text, 1, CAST(length(text) AS BIGINT) DIV 2)"),
-            F.lit(".\n"),
-            # (doc_id % 8) + 2 leading words: crosses the 5-word line rule
-            # at doc_id % 8 == 3, so n_kept_lines and keep vary per doc
-            F.expr(
-                "array_join(slice(split(text, ' '), 1,"
-                " CAST(doc_id % 8 AS INT) + 2), ' ')"
-            ),
-            F.lit("."),
-        ).alias("text"),
+    n_kept_lines and keep genuinely vary per doc. The lining is the
+    SHARED curation_lined construction (template/stop-tail branches
+    off — the plain fixture shape), so the parity-critical arithmetic
+    lives in one Spark/SQL pair; rules stay the published constants."""
+    from apm_opentelemetry_collector_spark.operators.curation import (
+        curation_lined,
+    )
+
+    docs = curation_lined(
+        _load(spark, sf_dir, "documents"), template=None, stop_tail=""
     )
     return textfn.c4_line_filters(docs)
 
@@ -2429,6 +2422,14 @@ SELECT query_id, neighbor_id, rank, round(adc_d2, 6) AS adc_d2 FROM (
     )
 
 
+def _curation_lined_cte(**kw) -> str:
+    from apm_opentelemetry_collector_spark.operators.curation import (
+        curation_lined_cte,
+    )
+
+    return curation_lined_cte(**kw)
+
+
 def _temperature_mixture_sql() -> str:
     from apm_opentelemetry_collector_spark.operators.sample import (
         temperature_mixture_sql,
@@ -3120,14 +3121,7 @@ WHERE da.source <> db.source""",
         ),
         "c4_line_filters": textfn.c4_line_filters_sql(
             table="lined",
-            pre_cte=(
-                "lined AS (SELECT doc_id, text || '.' || chr(10) || 'a b.'"
-                " || chr(10) || substr(text, 1, length(text) // 2) || '.'"
-                " || chr(10) || array_to_string("
-                "string_split(text, ' ')[1:CAST(doc_id % 8 AS INT) + 2], ' ')"
-                " || '.' AS text"
-                " FROM documents)"
-            ),
+            pre_cte=_curation_lined_cte(template=None, stop_tail=""),
         ),
         "c4_span_dedup": dd.c4_span_dedup_sql(
             table="lined",

@@ -62,17 +62,29 @@ def curation_lined(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    template: str | None = CURATION_TEMPLATE,
+    stop_tail: str = CURATION_STOP_TAIL,
 ) -> DataFrame:
     """4-line doc per row (full body; 2-word stub; front half; a
     (doc_id%8)+2-word leading slice — each period-terminated), with the
-    body swapped for CURATION_TEMPLATE on doc_id % 10 == 0."""
+    body swapped for `template` on doc_id % 10 == 0 and `stop_tail`
+    appended to the body line. This is the ONE lining construction the
+    driver queries share (q_c4_line_filters uses template=None,
+    stop_tail="" — the plain C4 fixture shape; curation_funnel uses the
+    defaults so its dedup/stopword stages have real work); the SQL twin
+    below renders the SAME branches, so the parity-critical arithmetic
+    lives in exactly one Spark/SQL pair."""
     did = F.col(id_col)
-    body = F.when(
-        did % CURATION_TPL_MOD == 0, F.lit(CURATION_TEMPLATE)
-    ).otherwise(F.col(text_col))
+    body = (
+        F.when(did % CURATION_TPL_MOD == 0, F.lit(template)).otherwise(
+            F.col(text_col)
+        )
+        if template is not None
+        else F.col(text_col)
+    )
     lined = F.concat(
         body,
-        F.lit(CURATION_STOP_TAIL + ".\na b.\n"),
+        F.lit(stop_tail + ".\na b.\n"),
         F.expr(
             "substring(body, 1, CAST(length(body) AS BIGINT) DIV 2)"
         ),
@@ -95,17 +107,27 @@ def curation_lined_cte(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    template: str | None = CURATION_TEMPLATE,
+    stop_tail: str = CURATION_STOP_TAIL,
 ) -> str:
-    """DuckDB pre-CTE twin of curation_lined (same constants)."""
+    """DuckDB pre-CTE twin of curation_lined (same constants/branches)."""
+    if template is not None:
+        src = (
+            f"(SELECT *, CASE WHEN {id_col} % {CURATION_TPL_MOD} = 0"
+            f" THEN '{template}' ELSE {text_col} END AS body"
+            f" FROM {table})"
+        )
+        body = "body"
+    else:
+        src = table
+        body = text_col
     return (
         f"lined AS (SELECT {id_col} AS doc_id, {source_col} AS source,"
-        f" body || '{CURATION_STOP_TAIL}.' || chr(10) || 'a b.' || chr(10)"
-        f" || substr(body, 1, length(body) // 2) || '.' || chr(10)"
-        f" || array_to_string(string_split(body, ' ')"
+        f" {body} || '{stop_tail}.' || chr(10) || 'a b.' || chr(10)"
+        f" || substr({body}, 1, length({body}) // 2) || '.' || chr(10)"
+        f" || array_to_string(string_split({body}, ' ')"
         f"[1:CAST({id_col} % 8 AS INT) + 2], ' ') || '.' AS text"
-        f" FROM (SELECT *, CASE WHEN {id_col} % {CURATION_TPL_MOD} = 0"
-        f" THEN '{CURATION_TEMPLATE}' ELSE {text_col} END AS body"
-        f" FROM {table}))"
+        f" FROM {src})"
     )
 
 

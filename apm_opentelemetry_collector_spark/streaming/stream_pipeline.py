@@ -1104,6 +1104,9 @@ def semdedup_stateful(
         ids, vecs = state.get if state.exists else ([], [])
         ids = list(ids or [])
         vecs = [np.asarray(v, dtype=np.float64) for v in (vecs or [])]
+        # resident norms computed ONCE per invocation (O(R + A)), not
+        # per arrival (O(A*R)) — they never change while resident
+        norms = [float(np.sqrt(w @ w)) for w in vecs]
         resident = set(ids)
         arrivals: list = []
         for pdf in pdfs:
@@ -1118,15 +1121,15 @@ def semdedup_stateful(
         for i, v in arrivals:
             nv = float(np.sqrt(v @ v))
             n_sim = 0
-            for j, w in zip(ids, vecs):
+            for j, w, nw in zip(ids, vecs, norms):
                 if j >= i:
                     continue
-                nw = float(np.sqrt(w @ w))
                 cos = float(v @ w) / (nv * nw) if nv > 0 and nw > 0 else 0.0
                 if cos >= tau:
                     n_sim += 1
             ids.append(i)
             vecs.append(v)
+            norms.append(nv)
             out_id.append(i)
             out_keep.append(n_sim == 0)
             out_n.append(n_sim)

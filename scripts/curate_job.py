@@ -111,13 +111,27 @@ def main() -> None:
     kept = surv.join(winner_ids, ["fp", "doc_id"], "left_semi")
 
     if args.exactsubstr:
+        # only docs that actually LOST a duplicated span are swapped to
+        # the operator's rewrite (which lives in the normalized domain —
+        # lowercased, whitespace-collapsed); untouched docs keep their
+        # original-cased multi-line C4-cleaned text
         rewritten = exactsubstr_dedup(kept, text_col="cleaned_text")
         kept = (
-            kept.drop("cleaned_text")
-            .join(
-                rewritten.select("doc_id", "cleaned_text"),
+            kept.join(
+                rewritten.select(
+                    "doc_id",
+                    F.col("cleaned_text").alias("_rw"),
+                    "changed",
+                ),
                 "doc_id",
             )
+            .withColumn(
+                "cleaned_text",
+                F.when(F.col("changed"), F.col("_rw")).otherwise(
+                    F.col("cleaned_text")
+                ),
+            )
+            .drop("_rw", "changed")
             .withColumn("n_tokens", token_count("cleaned_text").cast("bigint"))
         )
 
@@ -163,8 +177,17 @@ def main() -> None:
         },
         "exactsubstr": bool(args.exactsubstr),
     }
-    with open(os.path.join(args.output, "_summary.json"), "w") as f:
-        json.dump(summary, f, indent=2, sort_keys=True)
+    blob = json.dumps(summary, indent=2, sort_keys=True)
+    # the summary must land on the OUTPUT filesystem, which under
+    # spark-submit is usually s3/hdfs — a plain open() only works for
+    # local paths, so write through Spark (works for any scheme) and
+    # add the local _summary.json convenience copy when the path is one
+    spark.createDataFrame([(blob,)], "value string").coalesce(1).write.mode(
+        "overwrite"
+    ).text(os.path.join(args.output, "summary_json"))
+    if "://" not in args.output:
+        with open(os.path.join(args.output, "_summary.json"), "w") as f:
+            f.write(blob)
     print(json.dumps(summary["totals"]))
 
 
