@@ -1604,3 +1604,60 @@ def test_url_dedup_normalization_and_keep(spark):
     assert out[4]["keep"] and out[4]["n_dups"] == 1
     assert out[4]["host"] == "example.com"
     assert out[5]["norm_url"] == "other.org" and out[5]["host"] == "other.org"
+
+
+def test_curate_job_exactsubstr_swaps_changed_docs_only(spark, tmp_path, monkeypatch):
+    """--exactsubstr must rewrite ONLY docs that actually lost a
+    duplicated span: a unique surviving doc keeps its original-cased
+    multi-line C4-cleaned text, while duplicated-span docs come back
+    rewritten (regression for the review finding)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import curate_job
+
+    # doc 1 shares NO >=16-char run with docs 2/3 (unique wording)
+    good = (
+        "The Unique Report covers migration of the warehouse and that "
+        "is why we keep it around for the audit trail of the quarter.\n"
+        "every sentence in this particular document is written with "
+        "fresh phrasing that appears nowhere else in the batch of it.\n"
+        "so the report survives curation with its casing and newlines "
+        "preserved exactly as the crawler and that is of it captured."
+    )
+    block = "a duplicated boilerplate clause long enough to excise"
+    mk = (
+        "the {} page opens with an introduction and that is of course "
+        "fine because we want clean data for the training corpus.\n"
+        "{} middle context sentence with plenty of usual words here "
+        "and the shared part follows now {} then the page goes on.\n"
+        "a closing sentence unique to the {} page wraps this one up "
+        "and that is of it for the record being archived today."
+    )
+    dup = mk.format("first", "some", block, "first")
+    dup2 = mk.format("second", "other", block, "second")
+    rows = [(1, "src_a", "en", good), (2, "src_a", "en", dup),
+            (3, "src_b", "en", dup2)]
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    ).write.parquet(inp)
+
+    out = str(tmp_path / "curated")
+    monkeypatch.setattr(
+        sys, "argv",
+        ["curate_job.py", "--input", inp, "--output", out, "--exactsubstr"],
+    )
+    curate_job.main()
+
+    cleaned = {
+        r["doc_id"]: r["cleaned_text"]
+        for r in spark.read.parquet(f"{out}/cleaned").collect()
+    }
+    # doc 1 has no duplicated >=32-char span: original case + newlines kept
+    assert cleaned[1] == good
+    # docs 2/3 shared the block: both rewritten (normalized domain,
+    # block excised)
+    for i in (2, 3):
+        assert block not in cleaned[i]
+        assert "\n" not in cleaned[i] and cleaned[i] == cleaned[i].lower()
