@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from ..session import spread_small_scan
+
 PUNCT_RE = r"[.,!?;:]"
 WS_RE = r"\s+"
 
@@ -736,6 +738,7 @@ def gopher_quality(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_
     shuffles, zero joins, every expression inside WholeStageCodegen
     (rlike/split/filter are JVM higher-order functions, no Python).
     """
+    df = spread_small_scan(df)
     c = F.col(text_col)
     t = F.trim(c)
     words = F.split(t, WS_RE)
@@ -1360,12 +1363,16 @@ def gopher_repetition(df, text_col: str = "text", id_cols: tuple[str, ...] = ("d
     """
     c = F.col(text_col)
     keep_ids = list(id_cols)
-    base = df.select(
-        *keep_ids,
-        F.length(c).cast("bigint").alias("_text_len"),
-        F.split(c, "\n").alias("_lines"),
-        F.split(c, "\n\n").alias("_paras"),
-        F.filter(F.split(normalized(c), " "), lambda w: w != "").alias("_toks"),
+    base = spread_small_scan(
+        df.select(
+            *keep_ids,
+            F.length(c).cast("bigint").alias("_text_len"),
+            F.split(c, "\n").alias("_lines"),
+            F.split(c, "\n\n").alias("_paras"),
+            F.filter(F.split(normalized(c), " "), lambda w: w != "").alias(
+                "_toks"
+            ),
+        )
     )
     toks = F.col("_toks")
     stage2 = base.select(

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import spread_small_scan
+
 
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
@@ -57,8 +59,10 @@ def brute_force_knn(
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+    c = spread_small_scan(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+        )
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"), "inner")

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, dot
+from ..session import spread_small_scan
 
 CENTROID_DECIMAL = "decimal(28,12)"
 KMEANS_K = 4
@@ -95,8 +96,8 @@ def kmeans_assign(
 
     Output: vec_id, cluster (bigint-keyed points, int cluster 0..k-1).
     """
-    base = embeddings.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    base = spread_small_scan(
+        embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     )
     seed_w = Window.orderBy(F.col("id").asc())
     cents = (

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized
-from ..session import ensure_checkpoint_dir
+from ..session import ensure_checkpoint_dir, spread_small_scan
 
 SHINGLE_LEN = 5
 N_HASHES = 8
@@ -122,8 +122,10 @@ def shingles(
     candidate docs' shingles.
     """
     norm = normalized(text_col)
-    base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
-        F.length("norm") >= SHINGLE_LEN
+    base = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
+            F.length("norm") >= SHINGLE_LEN
+        )
     )
     out = (
         base.select(
@@ -176,8 +178,10 @@ def repeated_passages(
     Output: fingerprint (md5 of the passage), passage, n_docs, n_total.
     """
     norm = normalized(text_col)
-    base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
-        F.length("norm") >= passage_len
+    base = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
+            F.length("norm") >= passage_len
+        )
     )
     windows = base.select(
         "id",
@@ -349,8 +353,10 @@ def repeated_spans(
     from pyspark.sql import Window
 
     norm = normalized(text_col)
-    base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
-        F.length("norm") >= seed_len
+    base = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
+            F.length("norm") >= seed_len
+        )
     )
     # the seed KEY is the raw seed_len-char substring, not a hash: at 16
     # chars the text is SMALLER than its md5 hex and costs no digest —
@@ -562,8 +568,10 @@ def span_cores(
     from pyspark.sql import Window
 
     norm = normalized(text_col)
-    base = docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
-        F.length("norm") >= seed_len
+    base = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), norm.alias("norm")).filter(
+            F.length("norm") >= seed_len
+        )
     )
     windows = base.select(
         "id",
@@ -1220,8 +1228,12 @@ def embedding_neardup(
     """
     from ..functions.vectors import as_double, cosine
 
-    base = embeddings.select(
-        F.col(id_col).alias("id"), F.col(block_col).alias("blk"), as_double(vec_col).alias("v")
+    base = spread_small_scan(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(block_col).alias("blk"),
+            as_double(vec_col).alias("v"),
+        )
     )
     a = base.select(F.col("id").alias("id_a"), F.col("blk"), F.col("v").alias("va"))
     b = base.select(F.col("id").alias("id_b"), F.col("blk"), F.col("v").alias("vb"))
@@ -1280,7 +1292,8 @@ def semdedup(
     cluster), keep (no smaller-id τ-neighbor). Exact DuckDB twin:
     __spark_entry__._semdedup_sql (composes the unrolled _kmeans_sql).
     """
-    from ..functions.vectors import as_double, cosine
+    from ..functions.vectors import as_double, dot
+    from ..functions.vectors import norm as vnorm
     from ..session import ensure_checkpoint_dir
     from .clustering import KMEANS_ITERS, KMEANS_K, kmeans_assign
 
@@ -1294,15 +1307,47 @@ def semdedup(
     asg_ck = asg.checkpoint(eager=True)
     asg.unpersist()
 
-    base = embeddings.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
-    ).join(asg_ck, "id")
-    x = base.select(F.col("id").alias("id_a"), "cluster", F.col("v").alias("va"))
-    y = base.select(F.col("id").alias("id_b"), "cluster", F.col("v").alias("vb"))
+    # per-row norm precomputed ONCE (cosine(a,b) recomputes ||a|| and
+    # ||b|| per PAIR otherwise — 3× the fold work on the quadratic pair
+    # volume; same expression per row, so the double is bit-identical)
+    base = spread_small_scan(
+        embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
+    ).join(asg_ck, "id").withColumn("nv", vnorm(F.col("v")))
+    x = base.select(
+        F.col("id").alias("id_a"), "cluster",
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    y = base.select(
+        F.col("id").alias("id_b"), "cluster",
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
+    # the within-cluster pair join has only k distinct keys, so its
+    # compute parallelism is key-bound (and AQE coalesces the tiny-BYTE
+    # shuffle to ~1 partition while the pair EXPLOSION inside the join
+    # is quadratic CPU). Salt one side when k < parallelism: replicate
+    # x n_salt ways, bucket y by xxhash64(id_b) % n_salt, join on
+    # (cluster, salt) with an explicit co-partitioning both sides so
+    # AQE's byte-based coalescing cannot re-serialize it. Scale-adaptive
+    # by construction: production runs k ≈ n/10⁴ ≫ cores → n_salt = 1
+    # and the plan is byte-for-byte the unsalted one.
+    par = embeddings.sparkSession.sparkContext.defaultParallelism
+    n_salt = max(1, par // max(int(k), 1))
+    if n_salt > 1:
+        x = x.withColumn(
+            "_s", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        ).repartition(par, "cluster", "_s")
+        y = y.withColumn(
+            "_s", F.pmod(F.xxhash64("id_b"), F.lit(n_salt)).cast("int")
+        ).repartition(par, "cluster", "_s")
+        join_keys = ["cluster", "_s"]
+    else:
+        join_keys = ["cluster"]
     nbr = (
-        x.join(y, "cluster")
+        x.join(y, join_keys)
         .filter(F.col("id_a") != F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn(
+            "cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
         .filter(F.col("cos") >= F.lit(float(threshold)))
     )
     agg = nbr.groupBy("id_a").agg(
@@ -1448,11 +1493,15 @@ def ngram_decontaminate(
         "transform(sequence(1, size(l) - {n} + 1), "
         "i -> md5(cast(concat_ws(' ', slice(l, i, {n})) as binary)))".format(n=n)
     )
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(source_col).alias("src"),
-        F.filter(F.split(normalized(text_col), " "), lambda w: w != "").alias("l"),
-    ).filter(F.size("l") >= n)
+    toks = spread_small_scan(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+            F.filter(
+                F.split(normalized(text_col), " "), lambda w: w != ""
+            ).alias("l"),
+        ).filter(F.size("l") >= n)
+    )
     grams = toks.select("id", "src", F.explode(grams_expr).alias("g"))
     in_eval = F.col("src").isin(list(eval_sources))
     ev = (
@@ -1607,11 +1656,15 @@ def decontaminate_splice(
         "i -> struct(i AS i, md5(cast(concat_ws(' ', slice(l, i, {n})) "
         "as binary)) AS g))".format(n=n)
     )
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.col(source_col).alias("src"),
-        F.filter(F.split(normalized(text_col), " "), lambda w: w != "").alias("l"),
-    ).filter(F.size("l") >= n)
+    toks = spread_small_scan(
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(source_col).alias("src"),
+            F.filter(
+                F.split(normalized(text_col), " "), lambda w: w != ""
+            ).alias("l"),
+        ).filter(F.size("l") >= n)
+    )
     grams = toks.select("id", "src", F.explode(grams_expr).alias("s")).select(
         "id", "src", F.col("s.i").alias("i"), F.col("s.g").alias("g")
     )
@@ -2115,8 +2168,8 @@ def exactsubstr_dedup(
     """
     from pyspark.sql import Window
 
-    base = docs.select(
-        F.col(id_col).alias("id"), normalized(text_col).alias("norm")
+    base = spread_small_scan(
+        docs.select(F.col(id_col).alias("id"), normalized(text_col).alias("norm"))
     )
     eligible = base.filter(F.length("norm") >= seed_len)
     windows = eligible.select(

@@ -28,6 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, dot
+from ..session import spread_small_scan
 
 CENTROID_DECIMAL = "decimal(28,12)"
 
@@ -297,8 +298,10 @@ def hyperplane_lsh_knn(
     Output: query_id, neighbor_id, rank, cos.
     """
     planes = hyperplane_signs(n_planes, dim)
-    corpus = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+    corpus = spread_small_scan(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+        )
     ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
@@ -542,8 +545,8 @@ def pq_knn(
     if dim % m_subspaces:
         raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
     sub = dim // m_subspaces
-    base = embeddings.select(
-        F.col(id_col).alias("id"), as_double(vec_col).alias("v")
+    base = spread_small_scan(
+        embeddings.select(F.col(id_col).alias("id"), as_double(vec_col).alias("v"))
     )
 
     # train ALL m codebooks in one pass per Lloyd round (the corpus is
@@ -658,10 +661,12 @@ def ivfpq_knn(
     coarse.unpersist()
     coarse = coarse_ck
 
-    base = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(cluster_col).alias("cell"),
-        as_double(vec_col).alias("v"),
+    base = spread_small_scan(
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(cluster_col).alias("cell"),
+            as_double(vec_col).alias("v"),
+        )
     )
     res = base.join(F.broadcast(coarse), "cell").select(
         "id",

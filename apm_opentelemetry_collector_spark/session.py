@@ -75,6 +75,33 @@ def ensure_checkpoint_dir(sc) -> None:
         sc.setCheckpointDir(scratch)
 
 
+def spread_small_scan(df, min_parts: int | None = None):
+    """Parallelize a few-split input (guide §2.5 "input skew": one huge
+    unsplittable file — or here, one SMALL single-row-group parquet file
+    — scans as a single task, so per-row-heavy downstream work like
+    stride-1 window explodes, n-gram folds and signature hashing
+    serializes on one core). If the scan plans fewer partitions than the
+    session's default parallelism, round-robin repartition to spread it;
+    an input that already has >= parallelism splits (any real-scale
+    corpus) passes through UNCHANGED — the check makes this
+    scale-adaptive, not a local-mode constant: at 100 TB the scan has
+    thousands of splits and no extra exchange is ever added.
+
+    Call it on the NARROW projection (id + the columns the operator
+    needs), never the raw table, so the added exchange moves only the
+    bytes the operator was going to shuffle anyway.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover - defensive: planning-only probe
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def assert_no_rowwise_python(df) -> None:
     """North-star audit: no per-row Python on the hot path.
 

@@ -31,8 +31,11 @@ def test_recall_monotone_and_coverage_floor_on_fixture(spark):
     rec = _recalls(ann_recall(emb, emb.filter(F.col("vec_id") < 5), k=10))
     # ADVICE r3: the internal brute-force persist must be released before
     # returning — repeated calls in a long-lived session must not
-    # accumulate cached partitions
-    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() == before
+    # accumulate cached partitions. <= (not ==): the baseline can hold
+    # already-released localCheckpoint RDDs from earlier tests that the
+    # async ContextCleaner collects mid-call — the invariant is "adds
+    # nothing", not "the cleaner stood still".
+    assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() <= before
     assert set(rec) == {"ivf_p1", "ivf_p2", "ivf_p4", "lsh_mp0", "lsh_mp1"}
     # widening the probe set can only add hits (a displacing candidate
     # has higher exact cosine, hence is itself a brute-force member)
