@@ -113,13 +113,14 @@ def shingles(
 
     Output: id, shingle. Docs shorter than SHINGLE_LEN yield no rows.
 
-    distinct=True gives set semantics (needed by the Jaccard verify);
-    distinct=False skips the corpus-wide dedup SHUFFLE and stays purely
-    map-side — correct wherever duplicates don't change the answer
-    (minhash signatures: min over a multiset = min over its set). At
-    100 TB that distinct is the largest shuffle in the whole operator,
-    so minhash_lsh_dedup runs on raw shingles and dedups only the
-    candidate docs' shingles.
+    distinct=True gives set semantics (needed by the Jaccard verify).
+    Because the dedup key is (id, shingle) and id is part of it, set
+    semantics is a PER-DOCUMENT property — computed map-side with
+    array_distinct over the doc's own shingle array, so there is NO
+    corpus-wide distinct shuffle at any scale (it used to be the
+    operator's largest; r7 removed it outright — guide §2.4).
+    distinct=False keeps the raw multiset (minhash signatures: min over
+    a multiset = min over its set).
     """
     norm = normalized(text_col)
     base = spread_small_scan(
@@ -127,17 +128,13 @@ def shingles(
             F.length("norm") >= SHINGLE_LEN
         )
     )
-    out = (
-        base.select(
-            "id",
-            F.explode(
-                F.sequence(F.lit(1), F.length("norm") - (SHINGLE_LEN - 1))
-            ).alias("i"),
-            "norm",
-        )
-        .select("id", F.substring(F.col("norm"), F.col("i"), F.lit(SHINGLE_LEN)).alias("shingle"))
+    arr = F.expr(
+        f"transform(sequence(1, length(norm) - {SHINGLE_LEN - 1}),"
+        f" i -> substring(norm, i, {SHINGLE_LEN}))"
     )
-    return out.distinct() if distinct else out
+    if distinct:
+        arr = F.array_distinct(arr)
+    return base.select("id", F.explode(arr).alias("shingle"))
 
 
 PASSAGE_LEN = 40      # normalized chars per passage window
@@ -787,7 +784,14 @@ WHERE dr.core IS NULL"""
 
 def minhash_signatures(sh: DataFrame, cfg: MinHashConfig = CI_BANDING) -> DataFrame:
     """MinHash signature per doc: m0..m{n_hashes-1}, each the min over
-    shingles of md5('<j>:' || shingle)."""
+    shingles of md5('<j>:' || shingle).
+
+    Deliberately per-row md5 + map-side-combinable min aggregate: an r7
+    experiment hashing only DISTINCT shingle strings and joining back
+    (md5 count 8.2M → 16k at sf0.1) measured 2.3× SLOWER — the join
+    machinery costs more than the saved digests; parallel JVM md5 is
+    cheap. Kept as the measured-and-rejected alternative.
+    """
     aggs = [
         F.min(
             F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")).cast("binary"))

@@ -102,42 +102,66 @@ def _process(
     sink_table = routed.withColumn(
         "conv_bucket", conv_bucket_col(cfg.n_conv_buckets)
     ).drop("parsed", "hash_key")  # wide derived cols stay out of the sink table
-    sink_table.write.mode("overwrite").partitionBy("sink").parquet(routed_dir)
     rejected_dir = os.path.join(out_dir, "rejected", sub)
-    res.rejected.write.mode("overwrite").parquet(rejected_dir)
 
-    # aggregates from the written table — ONE pruned scan (group cols +
-    # crc only; parquet column pruning keeps text out) produces the
-    # metric table, the outcome totals, and the lineage checksum.
-    # Explicit schema (known from the DataFrame just written): an EMPTY
-    # bucket writes only _SUCCESS, and schema inference over zero part
-    # files would fail — empty buckets are legal (sparse inputs, layouts
-    # written with fewer buckets than requested).
-    written = spark.read.schema(sink_table.schema).parquet(routed_dir)
-    sink_counts = written.groupBy(
-        "sink", "conv_bucket", "role", "tool", "outcome"
-    ).agg(
-        F.count("*").alias("n"),
-        F.sum(
-            F.crc32(F.concat_ws("|", "conv_id", "turn_idx", "sink", "outcome"))
-        ).alias("crc"),
-    )
-    # Metrics are written by Spark directly — never collected to the
-    # driver: cardinality is sinks × n_conv_buckets × roles × tools ×
-    # outcomes, and n_conv_buckets is "a few thousand" on a real cluster.
-    metrics_dir = os.path.join(out_dir, "metrics", sub)
-    sink_counts.write.mode("overwrite").parquet(metrics_dir)
+    # The routed chain (write → metrics aggregate → totals) and the
+    # rejected chain (write → count) share no lineage, so they run as
+    # two concurrent driver-submitted job chains (guide §2.6: actions
+    # are only sequential because the driver calls them sequentially;
+    # the rejected chain's tasks back-fill executors left idle by the
+    # routed write's stragglers). Job descriptions are thread-local, so
+    # the UI stays labelled correctly.
 
-    # The manifest totals come from a second aggregate over the WRITTEN
-    # metrics table (tiny scan), collapsed to one row per outcome —
-    # the only .collect() in the runner, bounded by #outcomes (≤4).
-    totals = (
-        spark.read.schema(sink_counts.schema).parquet(metrics_dir)
-        .groupBy("outcome")
-        .agg(F.sum("n").alias("n"), F.sum("crc").alias("crc"))
-        .collect()
-    )
-    n_rejected = spark.read.schema(res.rejected.schema).parquet(rejected_dir).count()
+    def _routed_chain() -> list:
+        sink_table.write.mode("overwrite").partitionBy("sink").parquet(routed_dir)
+        # aggregates from the written table — ONE pruned scan (group
+        # cols + crc only; parquet column pruning keeps text out)
+        # produces the metric table, the outcome totals, and the lineage
+        # checksum. Explicit schema (known from the DataFrame just
+        # written): an EMPTY bucket writes only _SUCCESS, and schema
+        # inference over zero part files would fail — empty buckets are
+        # legal (sparse inputs, layouts written with fewer buckets than
+        # requested).
+        written = spark.read.schema(sink_table.schema).parquet(routed_dir)
+        sink_counts = written.groupBy(
+            "sink", "conv_bucket", "role", "tool", "outcome"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.crc32(F.concat_ws("|", "conv_id", "turn_idx", "sink", "outcome"))
+            ).alias("crc"),
+        )
+        # Metrics are written by Spark directly — never collected to the
+        # driver: cardinality is sinks × n_conv_buckets × roles × tools
+        # × outcomes, and n_conv_buckets is "a few thousand" on a real
+        # cluster.
+        metrics_dir = os.path.join(out_dir, "metrics", sub)
+        sink_counts.write.mode("overwrite").parquet(metrics_dir)
+
+        # The manifest totals come from a second aggregate over the
+        # WRITTEN metrics table (tiny scan), collapsed to one row per
+        # outcome — the only .collect() in the runner, bounded by
+        # #outcomes (≤4).
+        return (
+            spark.read.schema(sink_counts.schema).parquet(metrics_dir)
+            .groupBy("outcome")
+            .agg(F.sum("n").alias("n"), F.sum("crc").alias("crc"))
+            .collect()
+        )
+
+    def _rejected_chain() -> int:
+        res.rejected.write.mode("overwrite").parquet(rejected_dir)
+        return (
+            spark.read.schema(res.rejected.schema).parquet(rejected_dir).count()
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        totals_f = pool.submit(_routed_chain)
+        rejected_f = pool.submit(_rejected_chain)
+        totals = totals_f.result()
+        n_rejected = rejected_f.result()
 
     by_outcome = {r["outcome"]: int(r["n"]) for r in totals}
     checksum = sum(int(r["crc"] or 0) for r in totals)

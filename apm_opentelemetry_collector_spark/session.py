@@ -46,6 +46,27 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let the planner pick shuffled-hash joins when the build side
+        # fits (guide §3.1 / §9): skips both sort passes of sort-merge;
+        # AQE still falls back / skew-splits, and partitions are sized
+        # by the advisory target so per-task hash maps stay bounded
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # shuffle blocks never cross a NIC in local mode and the scratch
+        # disk outruns lz4 here (measured: ewma window shuffle 2.3 s →
+        # 1.4 s), so compression is pure CPU overhead locally. On a
+        # network-bound cluster set SPARK_GRAFT_SHUFFLE_COMPRESS=true
+        # (and consider zstd) — the byte ratio dominates there.
+        .config(
+            "spark.shuffle.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
+        .config(
+            "spark.shuffle.spill.compress",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         # parquet writer defaults — zstd is the file-level analog of the
