@@ -731,14 +731,25 @@ GOPHER_ALPHA_FRAC = (5, 4)  # alpha/words   > 0.8   <=> 5*alpha > 4*words
 GOPHER_MIN_STOP_WORDS = 2
 
 
-def gopher_quality(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
+def gopher_quality(
+    df,
+    text_col: str = "text",
+    id_cols: tuple[str, ...] = ("doc_id",),
+    spread: bool = True,
+):
     """Per-document Gopher rule metrics + per-rule booleans + overall keep.
 
     100 TB shape: one narrow projection over the corpus scan — zero
     shuffles, zero joins, every expression inside WholeStageCodegen
     (rlike/split/filter are JVM higher-order functions, no Python).
+
+    spread=False skips the small-scan parallelization for callers that
+    embed this in a larger composed pipeline (curation_funnel: the
+    mid-pipeline exchange measured as a net loss there, while the
+    standalone scorer gains 2.3×).
     """
-    df = spread_small_scan(df)
+    if spread:
+        df = spread_small_scan(df)
     c = F.col(text_col)
     t = F.trim(c)
     words = F.split(t, WS_RE)

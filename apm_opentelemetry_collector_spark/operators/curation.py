@@ -153,6 +153,7 @@ def curation_funnel(docs: DataFrame) -> DataFrame:
         c4,
         text_col="cleaned_text",
         id_cols=("doc_id", "source", "keep_c4", "cleaned_text"),
+        spread=False,  # composed mid-pipeline: the extra exchange loses here
     )
     per_doc = gq.select(
         "doc_id",

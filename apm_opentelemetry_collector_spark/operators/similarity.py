@@ -433,24 +433,33 @@ def _pq_train(sub_pts: DataFrame, n_codes: int, iters: int) -> DataFrame:
 
 
 def _book_arrays(cents: DataFrame, m_subspaces: int) -> list[DataFrame]:
-    """One 1-row DataFrame per subspace: the codebook as a sorted
-    array-of-structs column _b{m}, for broadcast cross-join attach."""
+    """ONE 1-row DataFrame holding ALL m codebooks as sorted
+    array-of-structs columns _b0.._b{m-1}: conditional collect_list per
+    subspace inside a single aggregate (collect_list skips the NULLs
+    the WHEN produces for other subspaces). Replaces the previous m
+    separate filter+aggregates chained by (m-1) crossJoins — one stage
+    instead of m, same columns, same sorted contents. Returned as a
+    1-element list to keep the _attach_books call shape."""
     return [
-        cents.filter(F.col("m") == m).agg(
-            F.array_sort(F.collect_list(F.struct("cluster", "c"))).alias(f"_b{m}")
+        cents.agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("m") == m, F.struct("cluster", "c"))
+                    )
+                ).alias(f"_b{m}")
+                for m in range(m_subspaces)
+            ]
         )
-        for m in range(m_subspaces)
     ]
 
 
 def _attach_books(df: DataFrame, books: list[DataFrame]) -> DataFrame:
-    """Pre-combine the m single-row codebook frames into ONE row, then
-    broadcast once onto the (big) df — m tiny 1×1 crossJoins happen
-    driver-side-cheap, and the corpus side sees a single broadcast
-    instead of m of them (r5 verdict nit: don't let broadcasts grow
-    with m_subspaces)."""
+    """Broadcast the combined single-row codebook frame onto df — the
+    corpus side sees ONE broadcast regardless of m_subspaces (r5
+    verdict nit)."""
     combined = books[0]
-    for arr in books[1:]:
+    for arr in books[1:]:  # legacy multi-frame callers, none in-tree
         combined = combined.crossJoin(arr)
     return df.crossJoin(F.broadcast(combined))
 
