@@ -70,10 +70,16 @@ def ivf_knn(
     cluster_col: str = "label",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe n_probe nearest centroids, exact
-    cosine within them. Output: query_id, neighbor_id, rank, cos."""
-    cents = centroids(embeddings, cluster_col, vec_col)
+    cosine within them. Output: query_id, neighbor_id, rank, cos.
+
+    cents: optionally a precomputed `centroids(...)` table — callers
+    that sweep n_probe (ann_recall, tune_n_probe) share ONE centroid
+    aggregate across variants instead of recomputing it per variant."""
+    if cents is None:
+        cents = centroids(embeddings, cluster_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
     )
@@ -140,10 +146,14 @@ def ann_recall(
     # consumed by every variant join + the true count (6 subtrees): persist
     # the ≤|queries|·k pair table so brute force runs once, not per branch
     bf_pairs = bf.select("query_id", "neighbor_id").persist()
+    # one centroid aggregate shared by the three IVF variants (the
+    # variants differ only in probe width) — persisted like bf_pairs and
+    # released in the same finally once the result checkpoint holds it
+    cents = centroids(embeddings, "label", vec_col).persist()
     variants = {
-        "ivf_p1": ivf_knn(embeddings, queries, k=k, n_probe=1, id_col=id_col, vec_col=vec_col),
-        "ivf_p2": ivf_knn(embeddings, queries, k=k, n_probe=2, id_col=id_col, vec_col=vec_col),
-        "ivf_p4": ivf_knn(embeddings, queries, k=k, n_probe=4, id_col=id_col, vec_col=vec_col),
+        "ivf_p1": ivf_knn(embeddings, queries, k=k, n_probe=1, id_col=id_col, vec_col=vec_col, cents=cents),
+        "ivf_p2": ivf_knn(embeddings, queries, k=k, n_probe=2, id_col=id_col, vec_col=vec_col, cents=cents),
+        "ivf_p4": ivf_knn(embeddings, queries, k=k, n_probe=4, id_col=id_col, vec_col=vec_col, cents=cents),
         "lsh_mp0": hyperplane_lsh_knn(
             embeddings, queries, k=k, multi_probe=False, id_col=id_col, vec_col=vec_col
         ),
@@ -178,6 +188,7 @@ def ann_recall(
     finally:
         out.unpersist()
         bf_pairs.unpersist()
+        cents.unpersist()
 
 
 def tune_n_probe(
@@ -210,8 +221,12 @@ def tune_n_probe(
         .select("query_id", "neighbor_id")
         .persist()  # one brute-force scan shared by all candidate branches
     )
+    # shared centroid aggregate across the n_probe candidates (ann_recall
+    # pattern): persisted so it computes once, released in the finally
+    cents = centroids(embeddings, "label", vec_col).persist()
     per = [
-        ivf_knn(embeddings, queries, k=k, n_probe=p, id_col=id_col, vec_col=vec_col)
+        ivf_knn(embeddings, queries, k=k, n_probe=p, id_col=id_col,
+                vec_col=vec_col, cents=cents)
         .select("query_id", "neighbor_id")
         .join(bf_pairs, ["query_id", "neighbor_id"])
         .agg(F.count("*").cast("bigint").alias("n_hits"))
@@ -242,6 +257,7 @@ def tune_n_probe(
     finally:
         out.unpersist()
         bf_pairs.unpersist()
+        cents.unpersist()
 
 
 # --- hyperplane (random-projection) LSH ANN ---------------------------------
