@@ -1580,7 +1580,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": q_kmeans_assign,
         "ann_recall": q_ann_recall,
         "tune_n_probe": q_tune_n_probe,
-        "rate_limit_exceeded": q_rate_limit_exceeded,
+        # --- r7-touched implementations rotated INTO the window (shingle
+        # per-doc array_distinct; spread_small_scan in the vector bases) —
+        # swapped with rate_limit/alert/counter_rate/hll, all untouched
+        # this round and r6-hash-verified --------------------------------
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "robust_outliers": q_robust_outliers,
         "dedup_components": q_dedup_components,
         # --- r2/r3 backlog (first driver-checked in r3) ---------------------
@@ -1589,9 +1593,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_knn": q_lsh_knn,
         "stratified_sample": q_stratified_sample,
         "cms_user_counts": q_cms_user_counts,
-        "alert_sustained_utilization": q_alert_sustained_utilization,
-        "counter_rate": q_counter_rate,
-        "hll_distinct_users": q_hll_distinct_users,
+        "knn_bruteforce": q_knn_bruteforce,
+        "simhash": q_simhash,
+        "ngram_jaccard_same_source": q_ngram_jaccard_same_source,
         "bloom_membership": q_bloom_membership,
         "contamination_cross_source": q_contamination_cross_source,
         # non-SQL-expressible paths (rows-only checks; byte format and
@@ -1609,7 +1613,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "cohort_retention": q_cohort_retention,
         "events_json_props": q_events_json_props,
-        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        # rotated OUT in r7 (untouched this round; hash-MATCH banked in
+        # CORRECTNESS_r06.json) to make room for the r7-touched set
+        "rate_limit_exceeded": q_rate_limit_exceeded,
+        "alert_sustained_utilization": q_alert_sustained_utilization,
+        "counter_rate": q_counter_rate,
+        "hll_distinct_users": q_hll_distinct_users,
         # --- transcript pipeline (SURVEY.md §2: S1-S4, F1, P1, P9/J7,
         # J1-J3, J6, W1, W3, A1, A5-A9, F4, T3/T6, O3) -----------------------
         "transcripts_derive": q_transcripts_derive,
@@ -1648,9 +1657,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
-        "knn_bruteforce": q_knn_bruteforce,
-        "simhash": q_simhash,
-        "ngram_jaccard_same_source": q_ngram_jaccard_same_source,
         # --- past the driver's 50-query window: r2-hash-verified, static ----
         # retry/backpressure taxonomy splits (S4, A3, A6)
         "sent_stats": q_sent_stats,

@@ -19,39 +19,41 @@ import __spark_entry__ as entrymod
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EARLIER_ROUNDS = [
-    os.path.join(_ROOT, f"CORRECTNESS_r{i:02d}.json") for i in (2, 3, 4, 5)
+    os.path.join(_ROOT, f"CORRECTNESS_r{i:02d}.json") for i in (2, 3, 4, 5, 6)
 ]
 
 MUST_BE_IN_WINDOW = {
-    # new or implementation-touched in r6: span_cores is the
-    # containment-support query; repeated_spans gained the (default-off)
-    # counting-bucket prefilter and re-verifies under the same hash;
-    # ivfpq_knn is the new IVFADC operator and pq_knn's training/encode
-    # internals were refactored into the helpers it shares with it
-    "span_cores",
+    # implementation-touched in r7 (the optimization round — outputs are
+    # hash-identical by construction, but the touched-goes-in-window
+    # policy makes the driver re-verify exactly the code that moved):
+    # spread_small_scan paths, the semdedup salt + norm precompute, the
+    # shingle per-doc array_distinct (minhash/simhash/jaccard family),
+    # the span_cores level-set fold, lazy CC round checkpoints, the
+    # single-aggregate PQ codebooks, and the shared IVF centroid table
+    "repeated_passages",
     "repeated_spans",
-    "ivfpq_knn",
-    "semdedup",
-    "pq_knn",
-    # late-r6 additions
-    "pack_sequences",
-    "mixture_weights",
+    "span_cores",
+    "exactsubstr_dedup",
+    "minhash_lsh_neardup",
+    "simhash",
+    "ngram_jaccard_same_source",
+    "dedup_components",
     "dedup_canonical",
-    "gopher_quality_filters",
-    "gopher_repetition",
+    "embedding_neardup",
+    "semdedup",
     "ngram_decontaminate",
     "decontaminate_splice",
-    "c4_line_filters",
-    "c4_span_dedup",
-    "dsir_weights",
-    "ccnet_buckets",
-    "exactsubstr_dedup",
+    "gopher_quality_filters",
+    "gopher_repetition",
     "curation_funnel",
-    "trigram_lm_scores",
-    "temperature_mixture",
-    "tokenizer_fertility",
-    "fineweb_filters",
-    "url_dedup",
+    "knn_bruteforce",
+    "ann_recall",
+    "tune_n_probe",
+    "ivf_knn",
+    "pq_knn",
+    "ivfpq_knn",
+    "lsh_knn",
+    "kmeans_assign",
 }
 
 

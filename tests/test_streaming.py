@@ -5,6 +5,12 @@ in octrace/opencensus_test.go:172-304)."""
 
 from __future__ import annotations
 
+import pytest
+
+# streaming restart/slicing suites dominate the full gate (~16 min);
+# the fast per-change loop skips them: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 import time as _time
 

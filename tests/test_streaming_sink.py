@@ -4,6 +4,12 @@ the streaming twin of the batch manifests)."""
 
 from __future__ import annotations
 
+import pytest
+
+# streaming restart/slicing suites dominate the full gate (~16 min);
+# the fast per-change loop skips them: pytest -m "not slow"
+pytestmark = pytest.mark.slow
+
 import datetime as dt
 
 from pyspark.sql import Row
