@@ -951,9 +951,13 @@ def minhash_lsh_dedup(
     """
     corpus_scope = cfg.distinct_scope == "corpus"
     sh = shingles(docs, text_col, id_col, distinct=corpus_scope).persist()
-    out = pairs = sh_cand = None
+    out = pairs = sh_cand = sig = None
     try:
-        sig = minhash_signatures(sh, cfg)
+        # sig feeds THREE subtrees (band generation + both sides of the
+        # estimate filter); persisted so the n_hashes×|shingles| md5
+        # aggregation runs once, not three times (r7: one signature pass
+        # ≈ 0.7 s at sf0.1). One row per doc — tiny next to sh.
+        sig = minhash_signatures(sh, cfg).persist()
         # pairs feeds jaccard() twice (intersection join + final left
         # join) plus the candidate-id set; persist the tiny candidate
         # table so band generation + prefilter run once, not per consumer
@@ -989,6 +993,8 @@ def minhash_lsh_dedup(
             sh_cand.unpersist()
         if pairs is not None:
             pairs.unpersist()
+        if sig is not None:
+            sig.unpersist()
         sh.unpersist()
     return ckpt
 
@@ -1329,18 +1335,18 @@ def semdedup(
     """
     from ..functions.vectors import as_double, dot
     from ..functions.vectors import norm as vnorm
-    from ..session import ensure_checkpoint_dir
     from .clustering import KMEANS_ITERS, KMEANS_K, kmeans_assign
 
     k = k or KMEANS_K
     iters = iters or KMEANS_ITERS
-    asg = kmeans_assign(
+    # the assignment table is (id, cluster) — two ids per row. A
+    # non-eager localCheckpoint cuts the lineage (the pair self-join's
+    # two branches cannot re-execute the Lloyd rounds) while
+    # materializing inside the query's own action instead of a separate
+    # eager checkpoint job (r7; the CC-labels discipline).
+    asg_ck = kmeans_assign(
         embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
-    ).select(F.col(id_col).alias("id"), "cluster")
-    ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
-    asg = asg.persist()
-    asg_ck = asg.checkpoint(eager=True)
-    asg.unpersist()
+    ).select(F.col(id_col).alias("id"), "cluster").localCheckpoint(eager=False)
 
     # per-row norm precomputed ONCE (cosine(a,b) recomputes ||a|| and
     # ||b|| per PAIR otherwise — 3× the fold work on the quadratic pair

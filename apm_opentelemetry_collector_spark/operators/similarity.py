@@ -380,10 +380,10 @@ def _pq_train(sub_pts: DataFrame, n_codes: int, iters: int) -> DataFrame:
     decimal-exact means, strict-< tie-to-lower-cluster fold), all m
     codebooks trained together — each round is one map-side fold over a
     single broadcast codebook map plus one decimal mean aggregate keyed
-    by (m, cluster). Returns the (m, cluster, c) codebook table run to
-    a reliable checkpoint (persist → checkpoint → unpersist) so every
-    downstream branch reads m×n_codes literal rows instead of
-    re-executing training."""
+    by (m, cluster). Returns the (m, cluster, c) codebook table behind
+    a non-eager localCheckpoint — lineage-cut so no downstream branch
+    can re-execute training, materialized inside the caller's action
+    (see the note at the return)."""
     from .clustering import CENTROID_DECIMAL, _dist2
 
     seed_w = Window.partitionBy("m").orderBy(F.col("id").asc())
@@ -439,13 +439,14 @@ def _pq_train(sub_pts: DataFrame, n_codes: int, iters: int) -> DataFrame:
     for _ in range(iters - 1):
         cents = _means_all(_assign_all(cents))
 
-    from ..session import ensure_checkpoint_dir
-
-    ensure_checkpoint_dir(sub_pts.sparkSession.sparkContext)
-    cents = cents.persist()
-    cents_ck = cents.checkpoint(eager=True)
-    cents.unpersist()
-    return cents_ck
+    # NON-eager localCheckpoint (r7): lineage is cut so downstream
+    # branches cannot re-derive the training rounds, but materialization
+    # happens inside the caller's own action instead of a separate
+    # driver-blocking job here. Since the codebooks collapse into ONE
+    # combined broadcast row (_book_arrays), the m×n_codes table has a
+    # single consumer and the former eager reliable checkpoint bought
+    # nothing but the extra job (measured: pq_knn 2.5 → 2.0 s).
+    return cents.localCheckpoint(eager=False)
 
 
 def _book_arrays(cents: DataFrame, m_subspaces: int) -> list[DataFrame]:
@@ -675,16 +676,12 @@ def ivfpq_knn(
         raise ValueError(f"dim {dim} not divisible by {m_subspaces}")
     sub = dim // m_subspaces
 
-    # coarse centroids, checkpointed once for the three consumers
-    from ..session import ensure_checkpoint_dir
-
-    ensure_checkpoint_dir(embeddings.sparkSession.sparkContext)
+    # coarse centroids, lineage-cut once for the three consumers — a
+    # #cells-row table; non-eager localCheckpoint materializes it inside
+    # the query's own action instead of a separate eager job (r7)
     coarse = centroids(embeddings, cluster_col, vec_col).select(
         F.col("cluster").alias("cell"), "centroid"
-    ).persist()
-    coarse_ck = coarse.checkpoint(eager=True)
-    coarse.unpersist()
-    coarse = coarse_ck
+    ).localCheckpoint(eager=False)
 
     base = spread_small_scan(
         embeddings.select(
