@@ -263,6 +263,7 @@ def repeated_spans(
     id_col: str = "doc_id",
     prefilter: bool = False,
     prefilter_load: float = 0.25,
+    reliable_intermediates: bool = False,
 ) -> DataFrame:
     """Variable-length repeated-substring detection — the maximal-span
     extension of repeated_passages (r4 VERDICT missing #3): fixed
@@ -411,15 +412,20 @@ def repeated_spans(
         .filter(F.col("span_len") >= min_len)
     )
     # islands is bounded by the corpus's REPEATED content (tiny next to
-    # the stride-1 window explode above it); both downstream branches
-    # (support count + text fetch) reuse it, so cut the lineage here —
-    # persist → reliable checkpoint → unpersist, the repo-wide
-    # discipline (survives executor loss, doesn't pin executor memory)
-    ensure_checkpoint_dir(docs.sparkSession.sparkContext)
-    islands = islands.persist()
-    islands_ck = islands.checkpoint(eager=True)
-    islands.unpersist()
-    islands = islands_ck
+    # the stride-1 window explode above it); the lineage is cut here so
+    # downstream cannot re-run the seed count. r7: non-eager
+    # localCheckpoint by default (materializes inside the query's own
+    # action — no separate job, no checkpoint-dir round-trip);
+    # reliable_intermediates=True restores the eager reliable-storage
+    # form for lossy/preemptible clusters (the span_cores knob).
+    if reliable_intermediates:
+        ensure_checkpoint_dir(docs.sparkSession.sparkContext)
+        islands = islands.persist()
+        islands_ck = islands.checkpoint(eager=True)
+        islands.unpersist()
+        islands = islands_ck
+    else:
+        islands = islands.localCheckpoint(eager=False)
     spans = islands.join(base, "id").select(
         "id",
         "span_len",
@@ -431,7 +437,9 @@ def repeated_spans(
         "span_len",
         "span",
         F.md5(F.col("span").cast("binary")).alias("fingerprint"),
-    )
+    ).localCheckpoint(eager=False)  # two consumers (support count + text
+    # fetch) — non-eager lineage cut derives the span text ONCE inside
+    # the final action instead of re-joining the corpus per branch
     sp_per_doc = spans.groupBy("fingerprint", "span_len", "id").agg(
         F.count("*").alias("_c")
     )
@@ -501,6 +509,7 @@ def span_cores(
     min_docs: int = SPAN_MIN_DOCS,
     text_col: str = "text",
     id_col: str = "doc_id",
+    reliable_intermediates: bool = False,
 ) -> DataFrame:
     """Containment-counted shared cores — closes repeated_spans'
     documented island-counting gap (r5 VERDICT missing #2): documents
@@ -590,17 +599,25 @@ def span_cores(
     # grams (one row per HOT position) is used twice — the island/run
     # decomposition AND the occurrence probe join — and re-deriving it
     # costs a full corpus scan plus the densest shuffle (the two-level
-    # seed count). It is repeated-content-bounded like islands, so the
-    # same discipline applies: persist → reliable checkpoint →
-    # unpersist. At 100 TB this checkpoint is O(hot positions) storage
-    # traded against a second corpus pass — the right side of the trade
-    # wherever the operator is worth running at all.
-    ensure_checkpoint_dir(docs.sparkSession.sparkContext)
+    # seed count). It is repeated-content-bounded like islands; the
+    # lineage is cut so neither consumer re-derives it. r7: the cut is a
+    # NON-eager localCheckpoint by default (materializes inside the
+    # query's own action — no separate driver-blocking job, no
+    # checkpoint-dir round-trip; measured 6.0 → 4.9 s with candidates'
+    # cut included, identical output). reliable_intermediates=True
+    # restores the eager reliable-storage checkpoints for lossy/
+    # preemptible clusters where losing an executor mid-query must not
+    # restart the whole pass — the availability-vs-latency knob; either
+    # way the storage is O(hot positions).
     grams = windows.join(hot, "fp")  # id, i, fp, sup — one row per hot position
-    grams = grams.persist()
-    grams_ck = grams.checkpoint(eager=True)
-    grams.unpersist()
-    grams = grams_ck
+    if reliable_intermediates:
+        ensure_checkpoint_dir(docs.sparkSession.sparkContext)
+        grams = grams.persist()
+        grams_ck = grams.checkpoint(eager=True)
+        grams.unpersist()
+        grams = grams_ck
+    else:
+        grams = grams.localCheckpoint(eager=False)
     pos = grams.withColumn(
         "_grp", F.col("i") - F.row_number().over(Window.partitionBy("id").orderBy("i"))
     )
@@ -649,9 +666,9 @@ flatten(
         )
         .distinct()  # same run often appears at several levels
     )
-    # candidates: island-bounded — persist → reliable checkpoint →
-    # unpersist (three downstream uses: occurrence join, gram table,
-    # maximality prune), the repo-wide lineage-cut discipline
+    # candidates: island-bounded, three downstream uses (occurrence
+    # join, gram table, maximality prune) — lineage cut like grams
+    # above (non-eager by default, reliable behind the knob)
     candidates = (
         runs.join(base, "id")
         .select(
@@ -662,10 +679,13 @@ flatten(
         )
         .distinct()
     )
-    candidates = candidates.persist()
-    cand_ck = candidates.checkpoint(eager=True)
-    candidates.unpersist()
-    candidates = cand_ck
+    if reliable_intermediates:
+        candidates = candidates.persist()
+        cand_ck = candidates.checkpoint(eager=True)
+        candidates.unpersist()
+        candidates = cand_ck
+    else:
+        candidates = candidates.localCheckpoint(eager=False)
     # exact containment occurrences: g0-blocked position join + one
     # substring probe at the matched position — occurrence-bounded
     occ = (
