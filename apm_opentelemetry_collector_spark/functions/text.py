@@ -449,8 +449,10 @@ def tokenizer_fertility(
     )
     safe_ws = F.when(F.col("ws_tokens") > 0, F.col("ws_tokens")).otherwise(F.lit(1))
     safe_bpe = F.when(F.col("bpe_tokens") > 0, F.col("bpe_tokens")).otherwise(F.lit(1))
+    # fixed output name 'lang' regardless of lang_col — the SQL twin
+    # hardcodes the alias (ADVICE r6; no-op under the default)
     return per.select(
-        lang_col,
+        F.col(lang_col).alias("lang"),
         "n_docs",
         "ws_tokens",
         "bpe_tokens",

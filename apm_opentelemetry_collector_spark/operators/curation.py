@@ -111,6 +111,16 @@ def curation_lined_cte(
     stop_tail: str = CURATION_STOP_TAIL,
 ) -> str:
     """DuckDB pre-CTE twin of curation_lined (same constants/branches)."""
+    # template/stop_tail are interpolated into SQL string literals below
+    # — a quote would silently generate a broken oracle. The frozen
+    # constants are quote-free; fail LOUDLY if a future edit changes
+    # that instead of emitting invalid SQL (ADVICE r6).
+    for name, s in (("template", template), ("stop_tail", stop_tail)):
+        if s is not None and "'" in s:
+            raise ValueError(
+                f"curation_lined_cte: {name} contains a single quote, "
+                "which would break the generated oracle SQL literal"
+            )
     if template is not None:
         src = (
             f"(SELECT *, CASE WHEN {id_col} % {CURATION_TPL_MOD} = 0"

@@ -389,13 +389,41 @@ def repeated_spans(
         # hint-free: AQE broadcasts the small hot-bucket set at bench
         # scale, falls back to a shuffle join when it outgrows one
         windows = windows_b.join(hot_buckets, "_b", "left_semi").drop("_b")
-    per_doc = windows.groupBy("fp", "id").agg(F.count("*").alias("_c"))
-    hot = (
-        per_doc.groupBy("fp")
-        .agg(F.count("*").alias("_nd"))
-        .filter(F.col("_nd") >= min_docs)
-        .select("fp")
-    )
+        per_doc = windows.groupBy("fp", "id").agg(F.count("*").alias("_c"))
+        hot = (
+            per_doc.groupBy("fp")
+            .agg(F.count("*").alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("fp")
+        )
+    else:
+        # hot-seed support needs only the DISTINCT-doc count per gram,
+        # and since the doc id is part of the dedup key, set semantics
+        # is a PER-DOCUMENT property: array_distinct over the doc's own
+        # gram array dedups map-side, so the count is ONE keys-only
+        # shuffle instead of the former two-level (fp, id) shuffle +
+        # count — the same corpus-distinct-shuffle removal the shingle
+        # pass got in r7 (guide §2.4), applied to the seed pass. Holds
+        # at every scale: the removed exchange carried one row per
+        # stride-1 position (corpus chars × ~24 B), the surviving one
+        # carries map-side-combined (gram, partial count) rows.
+        doc_grams = base.select(
+            "id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, length(norm) - {seed_len - 1}),"
+                        f" i -> substring(norm, i, {seed_len}))"
+                    )
+                )
+            ).alias("fp"),
+        )
+        hot = (
+            doc_grams.groupBy("fp")
+            .agg(F.count("*").alias("_nd"))
+            .filter(F.col("_nd") >= min_docs)
+            .select("fp")
+        )
     hot_pos = windows.join(hot, "fp", "left_semi").select("id", "i")
     grp = F.col("i") - F.row_number().over(
         Window.partitionBy("id").orderBy("i")
@@ -590,6 +618,14 @@ def span_cores(
         "i",
         F.substring(F.col("norm"), F.col("i"), seed_len).alias("fp"),
     )
+    # sup = DISTINCT-doc support per gram via the two-level (fp, id)
+    # aggregate. The repeated_spans map-side array_distinct rewrite was
+    # A/B-measured here too and LOSES (5.7/5.8 → 6.0/7.2 s interleaved
+    # minima): span_cores' windows subtree feeds the heavier grams
+    # position join (every hot position row with its sup), and the
+    # map-side path adds a second gram-transform corpus pass on top of
+    # it that costs more than the exchange it removes. The two-level
+    # form reuses windows' exploded rows for the count.
     per_doc = windows.groupBy("fp", "id").agg(F.count("*").alias("_c"))
     hot = (
         per_doc.groupBy("fp")

@@ -266,8 +266,12 @@ def mixture_weights(
     ).otherwise(F.lit(0.0))
     per = per.withColumn("raw", raw)
     rate = F.col("raw") / F.max("raw").over(w_all)
+    # fixed output name 'source' regardless of stratum_col: the SQL twin
+    # hardcodes that alias, and the driver hashes values sorted by
+    # column name (ADVICE r6; the curation_funnel pattern). No-op under
+    # the default stratum_col="source".
     return per.select(
-        stratum_col,
+        F.col(stratum_col).alias("source"),
         "n_docs",
         "tokens",
         "token_share",
@@ -348,8 +352,10 @@ def temperature_mixture(
     ).otherwise(F.lit(0.0))
     per = per.withColumn("raw", raw)
     rate = F.col("raw") / F.max("raw").over(w_all)
+    # fixed output name 'source' regardless of stratum_col — the SQL
+    # twin hardcodes the alias (ADVICE r6; no-op under the default)
     return per.select(
-        stratum_col,
+        F.col(stratum_col).alias("source"),
         "n_docs",
         "tokens",
         "token_share",

@@ -112,6 +112,70 @@ def ivf_knn(
     )
 
 
+def _ivf_knn_shared(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    probes: tuple[int, ...],
+    id_col: str,
+    vec_col: str,
+    cents: DataFrame,
+    cluster_col: str = "label",
+):
+    """IVF top-k for SEVERAL probe widths off ONE candidate pass.
+
+    The widths' probe sets are nested (crank ≤ 1 ⊂ ≤ 2 ⊂ ≤ 4 ...), so
+    the corpus join + per-candidate cosine — the expensive part — runs
+    once over the WIDEST set instead of once per width (Σ probes vs
+    max(probes) cluster-volumes of join/cosine work; 1+2+4 = 7 → 4 for
+    ann_recall, 15 → 8 for tune_n_probe). Each width then filters its
+    own crank bound and re-ranks, which is exactly ivf_knn's window on
+    the same cosine expression over the same rows — per-width output is
+    IDENTICAL to ivf_knn(n_probe=width) (equality-tested).
+
+    Returns (cand, {p: top-k DataFrame}); `cand` is shared by every
+    width, so the CALLER must persist it before acting and release it
+    when done (the bf_pairs/cents discipline in ann_recall).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.col("ccos").desc(), F.col("cluster").asc()
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("ccos", cosine(F.col("qvec"), F.col("centroid")))
+        .withColumn("crank", F.row_number().over(probe_w))
+        .filter(F.col("crank") <= max(probes))
+        .select("query_id", "qvec", "cluster", "crank")
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cluster_col).alias("cluster"),
+        as_double(vec_col).alias("cvec"),
+    )
+    cand = (
+        probed.join(corpus, "cluster")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("cvec")))
+        .select("query_id", "crank", "neighbor_id", "cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    variants = {
+        p: (
+            cand.filter(F.col("crank") <= p)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "cos")
+        )
+        for p in probes
+    }
+    return cand, variants
+
+
 def ann_recall(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -150,10 +214,17 @@ def ann_recall(
     # variants differ only in probe width) — persisted like bf_pairs and
     # released in the same finally once the result checkpoint holds it
     cents = centroids(embeddings, "label", vec_col).persist()
+    # nested probe widths share one candidate pass (see _ivf_knn_shared);
+    # cand is consumed by all three IVF branches → persisted, released
+    # in the same finally as bf_pairs/cents
+    cand, ivf = _ivf_knn_shared(
+        embeddings, queries, k, (1, 2, 4), id_col, vec_col, cents
+    )
+    cand = cand.persist()
     variants = {
-        "ivf_p1": ivf_knn(embeddings, queries, k=k, n_probe=1, id_col=id_col, vec_col=vec_col, cents=cents),
-        "ivf_p2": ivf_knn(embeddings, queries, k=k, n_probe=2, id_col=id_col, vec_col=vec_col, cents=cents),
-        "ivf_p4": ivf_knn(embeddings, queries, k=k, n_probe=4, id_col=id_col, vec_col=vec_col, cents=cents),
+        "ivf_p1": ivf[1],
+        "ivf_p2": ivf[2],
+        "ivf_p4": ivf[4],
         "lsh_mp0": hyperplane_lsh_knn(
             embeddings, queries, k=k, multi_probe=False, id_col=id_col, vec_col=vec_col
         ),
@@ -188,6 +259,7 @@ def ann_recall(
     finally:
         out.unpersist()
         bf_pairs.unpersist()
+        cand.unpersist()
         cents.unpersist()
 
 
@@ -224,9 +296,15 @@ def tune_n_probe(
     # shared centroid aggregate across the n_probe candidates (ann_recall
     # pattern): persisted so it computes once, released in the finally
     cents = centroids(embeddings, "label", vec_col).persist()
+    # one shared candidate pass across the nested probe widths
+    # (_ivf_knn_shared: Σ candidates → max(candidates) cluster-volumes
+    # of join/cosine work); persisted like cents, released in the finally
+    cand, ivf = _ivf_knn_shared(
+        embeddings, queries, k, tuple(candidates), id_col, vec_col, cents
+    )
+    cand = cand.persist()
     per = [
-        ivf_knn(embeddings, queries, k=k, n_probe=p, id_col=id_col,
-                vec_col=vec_col, cents=cents)
+        ivf[p]
         .select("query_id", "neighbor_id")
         .join(bf_pairs, ["query_id", "neighbor_id"])
         .agg(F.count("*").cast("bigint").alias("n_hits"))
@@ -257,6 +335,7 @@ def tune_n_probe(
     finally:
         out.unpersist()
         bf_pairs.unpersist()
+        cand.unpersist()
         cents.unpersist()
 
 

@@ -1046,7 +1046,14 @@ def semdedup_stateful(
     the corpus so cells stay small); state_ttl_s bounds the horizon
     (shared _resolve_ttl machinery, processing clock): an idle cluster
     is dropped, so a later duplicate of an evicted doc is NOT flagged —
-    choose TTL >= the dedup horizon.
+    choose TTL >= the dedup horizon. The at-least-once RE-DELIVERY
+    guard has the same horizon (ADVICE r6): it skips an arrival only
+    while the id is still resident, so a redelivery AFTER the id's
+    cluster was TTL-evicted is treated as new and re-emitted (possibly
+    with a different keep verdict against the rebuilt residents). If
+    the source can redeliver across gaps longer than the TTL, pair a
+    TTL'd semdedup with an upstream dedup_stream on vec_id — the same
+    guidance pack_sequences_stateful documents.
 
     Output (append, one row per arrival): vec_id, cluster, keep,
     n_prior_similar.

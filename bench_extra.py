@@ -63,7 +63,9 @@ def main() -> None:
             if name == "pipeline_e2e_synth":
                 continue
             print(f"==== {name} ====")
-            print(qmap[name](spark, args.sf)._jdf.queryExecution().explainString("formatted"))
+            # df.explain prints the formatted plan itself (the JVM
+            # explainString overload isn't py4j-reachable on Spark 4)
+            qmap[name](spark, args.sf).explain("formatted")
         return
 
     times: dict[str, list[float]] = {n: [] for n in args.queries}

@@ -323,3 +323,26 @@ def test_ivfpq_knn_quality_on_planted_clusters(spark):
         assert (g["neighbor_id"] // 40 == want_cluster).all(), (qid, g)
         d = g.sort_values("rank")["adc_d2"].to_numpy()
         assert (np.diff(d) >= 0).all()
+
+
+def test_shared_probe_pass_equals_per_width_ivf(spark):
+    """r7: ann_recall/tune_n_probe run the nested probe widths off ONE
+    candidate pass (_ivf_knn_shared). Per-width output must be row-
+    identical to calling ivf_knn at that width — same probe ranking,
+    same cosine expression, same tie order."""
+    from apm_opentelemetry_collector_spark.operators.similarity import (
+        _ivf_knn_shared,
+        centroids,
+        ivf_knn,
+    )
+
+    emb = spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 7)
+    cents = centroids(emb, "label", "embedding")
+    _, shared = _ivf_knn_shared(
+        emb, qs, 10, (1, 2, 4), "vec_id", "embedding", cents
+    )
+    for p in (1, 2, 4):
+        solo = ivf_knn(emb, qs, k=10, n_probe=p, cents=cents)
+        assert shared[p].exceptAll(solo).count() == 0
+        assert solo.exceptAll(shared[p]).count() == 0
