@@ -76,7 +76,7 @@ def _chain_outcomes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _chain_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _chain_outcomes(spark, sf_dir)
-    return sharding.assign_shard(out, sharding.shards_df(spark, SHARDS), "conv_id")
+    return sharding.assign_shard(out, SHARDS, "conv_id")
 
 
 def q_transcripts_derive(spark, sf_dir):
@@ -122,9 +122,9 @@ def q_route_fanout(spark, sf_dir):
 
 def q_shard_assign(spark, sf_dir):
     convs = derive_transcripts(spark, sf_dir).select("conv_id").distinct()
-    return sharding.assign_shard(
-        convs, sharding.shards_df(spark, SHARDS), "conv_id"
-    ).select("conv_id", "shard_id")
+    return sharding.assign_shard(convs, SHARDS, "conv_id").select(
+        "conv_id", "shard_id"
+    )
 
 
 def q_send_outcomes(spark, sf_dir):

@@ -110,7 +110,7 @@ def shards_df(spark: SparkSession, shards: list[dict]) -> DataFrame:
 
 def assign_shard(
     df: DataFrame,
-    shards: DataFrame,
+    shards: DataFrame | list[dict],
     partition_key: str = "conv_id",
     how: str = "left",
 ) -> DataFrame:
@@ -127,12 +127,23 @@ def assign_shard(
     a shard boundary. Ranges are validated non-overlapping, so each row
     matches at most one shard. Rows matching no shard keep shard_id NULL
     ('no shard found', encoder.go:462) → dropped as FatalEncodingError.
+    `shards` may be the config DataFrame or the plain shard list; the
+    list path skips a createDataFrame + collect round trip per call
+    (config is driver-side either way — the LUT below is identical
+    because shards_df preserves validate_sharding_config order).
     """
-    rows = [
-        (r["shard_id"], r["start_key"], r["end_key"])
-        for r in shards.select("shard_id", "start_key", "end_key").collect()
-    ]
-    spark = shards.sparkSession
+    if isinstance(shards, DataFrame):
+        rows = [
+            (r["shard_id"], r["start_key"], r["end_key"])
+            for r in shards.select("shard_id", "start_key", "end_key").collect()
+        ]
+        spark = shards.sparkSession
+    else:
+        rows = [
+            (s["shard_id"], s["start_key"], s["end_key"])
+            for s in validate_sharding_config(shards)
+        ]
+        spark = df.sparkSession
     exploded = []
     for shard_id, start, end in rows:
         for p in range(int(start[:2], 16), int(end[:2], 16) + 1):

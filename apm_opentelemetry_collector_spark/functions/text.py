@@ -1238,128 +1238,97 @@ GOPHER_REP_DUP_NGRAM = {
 }
 
 
-def _rep_grams(toks, n: int) -> Column:
-    """Sorted array of single-space-joined n-grams (empty if < n tokens)."""
-    g = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda j: F.array_join(F.slice(toks, j, n), " "),
+def _rep_gram_expr(n: int) -> str:
+    """SQL expr: sorted array of single-space-joined n-grams over _toks
+    (empty if < n tokens)."""
+    return (
+        "array_sort(CASE WHEN size(_toks) >= {n} THEN "
+        "transform(sequence(1, size(_toks) - {m}), j -> array_join(slice(_toks, j, {n}), ' ')) "
+        "ELSE CAST(array() AS ARRAY<STRING>) END) AS _g{n}"
+    ).format(n=n, m=n - 1)
+
+
+def _rep_gram_struct_expr(n: int) -> str:
+    """SQL expr: sorted array of (gram, start-token-index) structs (g
+    first, so array_sort groups equal grams; empty if < n tokens)."""
+    return (
+        "array_sort(CASE WHEN size(_toks) >= {n} THEN "
+        "transform(sequence(1, size(_toks) - {m}), j -> "
+        "named_struct('g', array_join(slice(_toks, j, {n}), ' '), 'j', j)) "
+        "ELSE CAST(array() AS ARRAY<STRUCT<g: STRING, j: INT>>) END) AS _s{n}"
+    ).format(n=n, m=n - 1)
+
+
+# run2 of the top-gram fold: current run length after seeing x against a
+# SORTED gram array (adjacent-equal extends the run). Spelled out at each
+# use site because SQL lambdas have no let-binding; identical subtrees
+# codegen to the same result.
+_REP_RUN2 = "(CASE WHEN x = acc.prev THEN acc.run + 1 ELSE CAST(1 AS BIGINT) END)"
+
+
+def _rep_top_run_expr(n: int) -> str:
+    """SQL expr: (best_cnt, best_key) of the most frequent gram in the
+    SORTED _g{n} — one linear fold over adjacent runs; strictly-greater
+    update means ties resolve to the lexicographically smallest gram
+    (the SQL twin's ORDER BY cnt DESC, g ASC)."""
+    return (
+        "aggregate(_g{n}, "
+        "named_struct('prev', '', 'run', CAST(0 AS BIGINT), "
+        "'best_cnt', CAST(0 AS BIGINT), 'best_key', ''), "
+        "(acc, x) -> named_struct("
+        "'prev', x, "
+        "'run', {r}, "
+        "'best_cnt', CASE WHEN {r} > acc.best_cnt THEN {r} ELSE acc.best_cnt END, "
+        "'best_key', CASE WHEN {r} > acc.best_cnt THEN x ELSE acc.best_key END)"
+        ") AS _t{n}"
+    ).format(n=n, r=_REP_RUN2)
+
+
+def _rep_dup_starts_expr(n: int) -> str:
+    """SQL expr: ascending start indices of grams occurring >= 2 times,
+    read off the (g, j)-sorted struct array _s{n} by neighbor equality
+    (the run-length signal — no per-element rescan of the array)."""
+    s = "_s{n}".format(n=n)
+    return (
+        "array_sort(transform(filter(transform({s}, (x, i) -> named_struct("
+        "'j', x.j, "
+        "'d', (CASE WHEN i > 0 THEN element_at({s}, i).g = x.g ELSE false END) "
+        "OR (CASE WHEN i < size({s}) - 1 THEN element_at({s}, i + 2).g = x.g ELSE false END))"
+        "), x -> x.d), x -> x.j)) AS _dj{n}"
+    ).format(s=s, n=n)
+
+
+def _rep_dup_cover_expr(n: int) -> str:
+    """SQL expr: chars of the normalized text covered by duplicated
+    n-grams — fold over ascending start indices in _dj{n} merging
+    token-OVERLAPPING runs (j <= current run end; ce=0 is the
+    no-open-run sentinel since token indices are 1-based), charging each
+    closed run its exact joined length. Integer-exact; O(total run
+    tokens) slice work per doc."""
+    overlap = "((NOT (acc.ce = 0)) AND (j <= acc.ce))"
+    runchars = (
+        "CAST(length(array_join(slice(_toks, acc.cs, acc.ce - acc.cs + 1), ' ')) "
+        "AS BIGINT)"
     )
-    return F.array_sort(
-        F.when(F.size(toks) >= n, g).otherwise(F.array().cast("array<string>"))
-    )
-
-
-def _rep_gram_structs(toks, n: int) -> Column:
-    """Sorted array of (gram, start-token-index) structs (g first, so
-    array_sort groups equal grams; empty if < n tokens)."""
-    g = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda j: F.struct(
-            F.array_join(F.slice(toks, j, n), " ").alias("g"), j.alias("j")
-        ),
-    )
-    return F.array_sort(
-        F.when(F.size(toks) >= n, g).otherwise(
-            F.array().cast("array<struct<g:string,j:int>>")
-        )
-    )
-
-
-def _rep_top_run(sorted_grams) -> Column:
-    """(best_cnt, best_key) of the most frequent gram in a SORTED gram
-    array — one linear fold over adjacent runs; strictly-greater update
-    means ties resolve to the lexicographically smallest gram (the SQL
-    twin's ORDER BY cnt DESC, g ASC)."""
-    zero = F.struct(
-        F.lit("").alias("prev"),
-        F.lit(0).cast("bigint").alias("run"),
-        F.lit(0).cast("bigint").alias("best_cnt"),
-        F.lit("").alias("best_key"),
-    )
-
-    def step(acc, x):
-        run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
-            F.lit(1).cast("bigint")
-        )
-        better = run2 > acc["best_cnt"]
-        return F.struct(
-            x.alias("prev"),
-            run2.alias("run"),
-            F.when(better, run2).otherwise(acc["best_cnt"]).alias("best_cnt"),
-            F.when(better, x).otherwise(acc["best_key"]).alias("best_key"),
-        )
-
-    return F.aggregate(sorted_grams, zero, step)
-
-
-def _rep_dup_starts(s) -> Column:
-    """Ascending start indices of grams occurring >= 2 times, read off a
-    (g, j)-sorted struct array by neighbor equality (the run-length
-    signal — no per-element rescan of the array)."""
-    sz = F.size(s)
-    flagged = F.transform(
-        s,
-        lambda x, i: F.struct(
-            x["j"].alias("j"),
-            (
-                F.when(i > 0, F.element_at(s, i)["g"] == x["g"]).otherwise(
-                    F.lit(False)
-                )
-                | F.when(
-                    i < sz - 1, F.element_at(s, i + 2)["g"] == x["g"]
-                ).otherwise(F.lit(False))
-            ).alias("d"),
-        ),
-    )
-    return F.array_sort(
-        F.transform(F.filter(flagged, lambda x: x["d"]), lambda x: x["j"])
-    )
-
-
-def _rep_dup_cover(dj, toks, n: int) -> Column:
-    """Chars of the normalized text covered by duplicated n-grams:
-    fold over ascending start indices merging token-OVERLAPPING runs
-    (j <= current run end; ce=0 is the no-open-run sentinel since token
-    indices are 1-based), charging each closed run its exact joined
-    length. Integer-exact; O(total run tokens) slice work per doc."""
-
-    def runchars(a, b):
-        return F.length(F.array_join(F.slice(toks, a, b - a + 1), " ")).cast(
-            "bigint"
-        )
-
-    zero = F.struct(
-        F.lit(0).cast("bigint").alias("cov"),
-        F.lit(0).alias("cs"),
-        F.lit(0).alias("ce"),
-    )
-
-    def step(acc, j):
-        eo = j + (n - 1)
-        no_open = acc["ce"] == 0
-        overlap = (~no_open) & (j <= acc["ce"])
-        return F.struct(
-            F.when(no_open | overlap, acc["cov"])
-            .otherwise(acc["cov"] + runchars(acc["cs"], acc["ce"]))
-            .alias("cov"),
-            F.when(overlap, acc["cs"]).otherwise(j).alias("cs"),
-            F.when(overlap, F.greatest(acc["ce"], eo)).otherwise(eo).alias("ce"),
-        )
-
-    return F.aggregate(
-        dj,
-        zero,
-        step,
-        lambda acc: F.when(acc["ce"] == 0, acc["cov"]).otherwise(
-            acc["cov"] + runchars(acc["cs"], acc["ce"])
-        ),
-    )
+    return (
+        "aggregate(_dj{n}, "
+        "named_struct('cov', CAST(0 AS BIGINT), 'cs', 0, 'ce', 0), "
+        "(acc, j) -> named_struct("
+        "'cov', CASE WHEN (acc.ce = 0) OR {ov} THEN acc.cov ELSE acc.cov + {rc} END, "
+        "'cs', CASE WHEN {ov} THEN acc.cs ELSE j END, "
+        "'ce', CASE WHEN {ov} THEN greatest(acc.ce, j + {m}) ELSE j + {m} END), "
+        "acc -> CASE WHEN acc.ce = 0 THEN acc.cov ELSE acc.cov + {rc} END"
+        ") AS _dc{n}"
+    ).format(n=n, m=n - 1, ov=overlap, rc=runchars)
 
 
 def _arr_chars(arr) -> Column:
     return F.aggregate(
         arr, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
     )
+
+
+_ARR_CHARS_SQL = "aggregate({a}, CAST(0 AS BIGINT), (a, x) -> a + length(x))"
 
 
 def gopher_repetition(df, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)):
@@ -1373,130 +1342,106 @@ def gopher_repetition(df, text_col: str = "text", id_cols: tuple[str, ...] = ("d
     per-doc cost is O(G log G) for the 9 gram sorts; nothing leaves its
     row. Booleans are integer cross-multiplication (bit-exact vs the
     DuckDB twin); the reported fractions are exact int/int doubles.
+
+    The stages are SQL-expr strings, not Column chains: the 9 HOF folds
+    cost ~1.7 s of per-invocation Python-side construction (thousands of
+    py4j round trips) as Column objects vs ~0.2 s parsed from strings —
+    measured r7, bit-identical output (same Catalyst expressions either
+    way). Driver-side construction cost recurs on every submission, so
+    this is a production win too, not a bench artifact.
     """
-    c = F.col(text_col)
-    keep_ids = list(id_cols)
+    c = f"`{text_col}`"
+    ids = [f"`{i}`" for i in id_cols]
     base = spread_small_scan(
-        df.select(
-            *keep_ids,
-            F.length(c).cast("bigint").alias("_text_len"),
-            F.split(c, "\n").alias("_lines"),
-            F.split(c, "\n\n").alias("_paras"),
-            F.filter(F.split(normalized(c), " "), lambda w: w != "").alias(
-                "_toks"
-            ),
+        df.selectExpr(
+            *ids,
+            f"CAST(length({c}) AS BIGINT) AS _text_len",
+            f"split({c}, '\\n') AS _lines",
+            f"split({c}, '\\n\\n') AS _paras",
+            # normalized(text) split on single spaces, empties dropped
+            f"filter(split(trim(regexp_replace(lower({c}), '\\\\s+', ' ')), ' '), "
+            "w -> w != '') AS _toks",
         )
     )
-    toks = F.col("_toks")
-    stage2 = base.select(
-        *keep_ids,
+    stage2 = base.selectExpr(
+        *ids,
         "_text_len",
         "_lines",
         "_paras",
         "_toks",
-        F.length(F.array_join(toks, " ")).cast("bigint").alias("_norm_len"),
-        *[_rep_grams(toks, n).alias(f"_g{n}") for n in GOPHER_REP_TOP_NGRAM],
-        *[
-            _rep_gram_structs(toks, n).alias(f"_s{n}")
-            for n in GOPHER_REP_DUP_NGRAM
-        ],
+        "CAST(length(array_join(_toks, ' ')) AS BIGINT) AS _norm_len",
+        *[_rep_gram_expr(n) for n in GOPHER_REP_TOP_NGRAM],
+        *[_rep_gram_struct_expr(n) for n in GOPHER_REP_DUP_NGRAM],
     )
-    stage3 = stage2.select(
-        *keep_ids,
+    stage3 = stage2.selectExpr(
+        *ids,
         "_text_len",
         "_lines",
         "_paras",
         "_toks",
         "_norm_len",
-        *[
-            _rep_top_run(F.col(f"_g{n}")).alias(f"_t{n}")
-            for n in GOPHER_REP_TOP_NGRAM
-        ],
-        *[
-            _rep_dup_starts(F.col(f"_s{n}")).alias(f"_dj{n}")
-            for n in GOPHER_REP_DUP_NGRAM
-        ],
+        *[_rep_top_run_expr(n) for n in GOPHER_REP_TOP_NGRAM],
+        *[_rep_dup_starts_expr(n) for n in GOPHER_REP_DUP_NGRAM],
     )
-    lines, paras = F.col("_lines"), F.col("_paras")
-    stage4 = stage3.select(
-        *keep_ids,
+    stage4 = stage3.selectExpr(
+        *ids,
         "_text_len",
         "_norm_len",
-        F.size(lines).cast("bigint").alias("_n_lines"),
-        F.size(paras).cast("bigint").alias("_n_paras"),
-        (F.size(lines) - F.size(F.array_distinct(lines)))
-        .cast("bigint")
-        .alias("_dup_lines"),
-        (F.size(paras) - F.size(F.array_distinct(paras)))
-        .cast("bigint")
-        .alias("_dup_paras"),
-        (_arr_chars(lines) - _arr_chars(F.array_distinct(lines))).alias(
-            "_dup_line_chars"
-        ),
-        (_arr_chars(paras) - _arr_chars(F.array_distinct(paras))).alias(
-            "_dup_para_chars"
-        ),
+        "CAST(size(_lines) AS BIGINT) AS _n_lines",
+        "CAST(size(_paras) AS BIGINT) AS _n_paras",
+        "CAST(size(_lines) - size(array_distinct(_lines)) AS BIGINT) AS _dup_lines",
+        "CAST(size(_paras) - size(array_distinct(_paras)) AS BIGINT) AS _dup_paras",
+        f"{_ARR_CHARS_SQL.format(a='_lines')} - "
+        f"{_ARR_CHARS_SQL.format(a='array_distinct(_lines)')} AS _dup_line_chars",
+        f"{_ARR_CHARS_SQL.format(a='_paras')} - "
+        f"{_ARR_CHARS_SQL.format(a='array_distinct(_paras)')} AS _dup_para_chars",
         *[
-            (
-                F.col(f"_t{n}")["best_cnt"]
-                * F.length(F.col(f"_t{n}")["best_key"])
-            )
-            .cast("bigint")
-            .alias(f"_tc{n}")
+            f"CAST(_t{n}.best_cnt * length(_t{n}.best_key) AS BIGINT) AS _tc{n}"
             for n in GOPHER_REP_TOP_NGRAM
         ],
-        *[
-            _rep_dup_cover(F.col(f"_dj{n}"), F.col("_toks"), n).alias(f"_dc{n}")
-            for n in GOPHER_REP_DUP_NGRAM
-        ],
+        *[_rep_dup_cover_expr(n) for n in GOPHER_REP_DUP_NGRAM],
     )
 
     def safe(d):
-        return F.when(d > 0, d).otherwise(F.lit(1))
+        return f"(CASE WHEN {d} > 0 THEN {d} ELSE 1 END)"
 
-    tl, nl = F.col("_text_len"), F.col("_norm_len")
-    n_lines, n_paras = F.col("_n_lines"), F.col("_n_paras")
     passes = {
-        "pass_dup_lines": GOPHER_REP_DUP_LINE[0] * F.col("_dup_lines")
-        <= GOPHER_REP_DUP_LINE[1] * n_lines,
-        "pass_dup_line_chars": GOPHER_REP_DUP_LINE_CHAR[0]
-        * F.col("_dup_line_chars")
-        <= GOPHER_REP_DUP_LINE_CHAR[1] * tl,
-        "pass_dup_paras": GOPHER_REP_DUP_PARA[0] * F.col("_dup_paras")
-        <= GOPHER_REP_DUP_PARA[1] * n_paras,
-        "pass_dup_para_chars": GOPHER_REP_DUP_PARA_CHAR[0]
-        * F.col("_dup_para_chars")
-        <= GOPHER_REP_DUP_PARA_CHAR[1] * tl,
+        "pass_dup_lines": f"{GOPHER_REP_DUP_LINE[0]} * _dup_lines "
+        f"<= {GOPHER_REP_DUP_LINE[1]} * _n_lines",
+        "pass_dup_line_chars": f"{GOPHER_REP_DUP_LINE_CHAR[0]} * _dup_line_chars "
+        f"<= {GOPHER_REP_DUP_LINE_CHAR[1]} * _text_len",
+        "pass_dup_paras": f"{GOPHER_REP_DUP_PARA[0]} * _dup_paras "
+        f"<= {GOPHER_REP_DUP_PARA[1]} * _n_paras",
+        "pass_dup_para_chars": f"{GOPHER_REP_DUP_PARA_CHAR[0]} * _dup_para_chars "
+        f"<= {GOPHER_REP_DUP_PARA_CHAR[1]} * _text_len",
         **{
-            f"pass_top_{n}gram": a * F.col(f"_tc{n}") <= b * nl
+            f"pass_top_{n}gram": f"{a} * _tc{n} <= {b} * _norm_len"
             for n, (a, b) in GOPHER_REP_TOP_NGRAM.items()
         },
         **{
-            f"pass_dup_{n}gram": a * F.col(f"_dc{n}") <= b * nl
+            f"pass_dup_{n}gram": f"{a} * _dc{n} <= {b} * _norm_len"
             for n, (a, b) in GOPHER_REP_DUP_NGRAM.items()
         },
     }
-    keep = None
-    for bcol in passes.values():
-        keep = bcol if keep is None else (keep & bcol)
-    return stage4.select(
-        *keep_ids,
-        n_lines.alias("n_lines"),
-        n_paras.alias("n_paras"),
-        (F.col("_dup_lines") / safe(n_lines)).alias("dup_line_frac"),
-        (F.col("_dup_line_chars") / safe(tl)).alias("dup_line_char_frac"),
-        (F.col("_dup_paras") / safe(n_paras)).alias("dup_para_frac"),
-        (F.col("_dup_para_chars") / safe(tl)).alias("dup_para_char_frac"),
+    keep = " AND ".join(f"({e})" for e in passes.values())
+    return stage4.selectExpr(
+        *ids,
+        "_n_lines AS n_lines",
+        "_n_paras AS n_paras",
+        f"_dup_lines / {safe('_n_lines')} AS dup_line_frac",
+        f"_dup_line_chars / {safe('_text_len')} AS dup_line_char_frac",
+        f"_dup_paras / {safe('_n_paras')} AS dup_para_frac",
+        f"_dup_para_chars / {safe('_text_len')} AS dup_para_char_frac",
         *[
-            (F.col(f"_tc{n}") / safe(nl)).alias(f"top_{n}gram_char_frac")
+            f"_tc{n} / {safe('_norm_len')} AS top_{n}gram_char_frac"
             for n in GOPHER_REP_TOP_NGRAM
         ],
         *[
-            (F.col(f"_dc{n}") / safe(nl)).alias(f"dup_{n}gram_char_frac")
+            f"_dc{n} / {safe('_norm_len')} AS dup_{n}gram_char_frac"
             for n in GOPHER_REP_DUP_NGRAM
         ],
-        *[expr.alias(name) for name, expr in passes.items()],
-        keep.alias("keep"),
+        *[f"({e}) AS {name}" for name, e in passes.items()],
+        f"({keep}) AS keep",
     )
 
 

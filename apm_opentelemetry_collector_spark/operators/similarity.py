@@ -372,6 +372,22 @@ def lsh_bucket(vec: Column, planes: tuple[tuple[float, ...], ...]) -> Column:
     return b.cast("int")
 
 
+def _lsh_bucket_sql(vec: str, planes: tuple[tuple[float, ...], ...]) -> str:
+    """SQL-expr twin of lsh_bucket (same ops: per-plane zip_with dot fold,
+    CASE-summed bit, final INT cast). The Column form costs ~2×P×dim py4j
+    round trips per call (the ±1 weight literals); the string parses in
+    one (r7 — construction was most of lsh_knn's per-invocation cost)."""
+    terms = ["0"]
+    for p, w in enumerate(planes):
+        arr = ", ".join(f"{x:.1f}D" for x in w)
+        proj = (
+            f"aggregate(zip_with({vec}, array({arr}), (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {2 ** p} ELSE 0 END")
+    return f"CAST({' + '.join(terms)} AS INT)"
+
+
 def hyperplane_lsh_knn(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -393,21 +409,24 @@ def hyperplane_lsh_knn(
     Output: query_id, neighbor_id, rank, cos.
     """
     planes = hyperplane_signs(n_planes, dim)
+    to_double = f"transform(`{vec_col}`, x -> CAST(x AS DOUBLE))"
     corpus = spread_small_scan(
-        embeddings.select(
-            F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cvec")
+        embeddings.selectExpr(
+            f"`{id_col}` AS neighbor_id", f"{to_double} AS cvec"
         )
-    ).withColumn("bucket", lsh_bucket(F.col("cvec"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qvec")
-    ).withColumn("qbucket", lsh_bucket(F.col("qvec"), planes))
-    probes = [F.col("qbucket")]
+    ).selectExpr(
+        "neighbor_id", "cvec", f"{_lsh_bucket_sql('cvec', planes)} AS bucket"
+    )
+    q = queries.selectExpr(
+        f"`{id_col}` AS query_id", f"{to_double} AS qvec"
+    ).selectExpr(
+        "query_id", "qvec", f"{_lsh_bucket_sql('qvec', planes)} AS qbucket"
+    )
+    probes = ["qbucket"]
     if multi_probe:
-        probes += [
-            F.col("qbucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)
-        ]
-    probed = q.select(
-        "query_id", "qvec", F.explode(F.array(*probes)).alias("bucket")
+        probes += [f"qbucket ^ {1 << p}" for p in range(n_planes)]
+    probed = q.selectExpr(
+        "query_id", "qvec", f"explode(array({', '.join(probes)})) AS bucket"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -432,6 +451,43 @@ IVFPQ_NPROBE = 2
 
 def _pq_acc0():
     return F.struct(F.lit(float("inf")).alias("d2"), F.lit(-1).alias("cluster"))
+
+
+# --- SQL-expr twins of the PQ fold builders (r7) ----------------------------
+# The encode/ADC folds nest dot-product lambdas inside argmin lambdas; as
+# Column objects each invocation costs thousands of py4j round trips of
+# driver-side construction (~1-1.5 s per pq/ivfpq call, measured). The
+# same expressions parsed from strings cost one round trip per selectExpr
+# and produce the same Catalyst nodes, so results are bit-identical.
+# Lambda variables are named apart (zx/zy/za/zb inner, acc/x outer) so the
+# nested scopes cannot capture each other.
+
+_PQ_ACC0_SQL = "named_struct('d2', CAST('Infinity' AS DOUBLE), 'cluster', -1)"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """SQL twin of functions.vectors.dot (same left fold, same 0.0 seed)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (zx, zy) -> zx * zy), "
+        "0.0D, (za, zb) -> za + zb)"
+    )
+
+
+def _dist2_sql(v: str, c: str) -> str:
+    """SQL twin of clustering._dist2: |v|² + |c|² − 2·v·c, same op order."""
+    return f"({_dot_sql(v, v)} + {_dot_sql(c, c)} - 2.0D * {_dot_sql(v, c)})"
+
+
+def _argmin_fold_sql(arr: str, d2: str) -> str:
+    """Fold `arr` (array<struct<cluster, c>>) keeping the strictly-smaller
+    d2 — ties to the lower cluster id (the kmeans_assign discipline).
+    `d2` must reference the codeword as x.c; returns the winning cluster."""
+    return (
+        f"aggregate({arr}, {_PQ_ACC0_SQL}, "
+        f"(acc, x) -> CASE WHEN {d2} < acc.d2 "
+        f"THEN named_struct('d2', {d2}, 'cluster', x.cluster) "
+        "ELSE acc END).cluster"
+    )
 
 
 def _pq_sub_points(base: DataFrame, m_subspaces: int, sub: int, vec: str = "v") -> DataFrame:
@@ -463,7 +519,7 @@ def _pq_train(sub_pts: DataFrame, n_codes: int, iters: int) -> DataFrame:
     a non-eager localCheckpoint — lineage-cut so no downstream branch
     can re-execute training, materialized inside the caller's action
     (see the note at the return)."""
-    from .clustering import CENTROID_DECIMAL, _dist2
+    from .clustering import CENTROID_DECIMAL
 
     seed_w = Window.partitionBy("m").orderBy(F.col("id").asc())
     cents = (
@@ -481,20 +537,11 @@ def _pq_train(sub_pts: DataFrame, n_codes: int, iters: int) -> DataFrame:
             ).alias("_books")
         )
 
-        def step(acc, x):
-            d2 = _dist2(F.col("sv"), x["c"])
-            return F.when(
-                d2 < acc["d2"],
-                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
-            ).otherwise(acc)
-
-        return sub_pts.crossJoin(F.broadcast(books_map)).select(
-            "id",
-            "m",
-            "sv",
-            F.aggregate(
-                F.element_at(F.col("_books"), F.col("m")), _pq_acc0(), step
-            )["cluster"].alias("cluster"),
+        fold = _argmin_fold_sql(
+            "element_at(_books, m)", _dist2_sql("sv", "x.c")
+        )
+        return sub_pts.crossJoin(F.broadcast(books_map)).selectExpr(
+            "id", "m", "sv", f"{fold} AS cluster"
         )
 
     def _means_all(assigned):
@@ -560,48 +607,32 @@ def _attach_books(df: DataFrame, books: list[DataFrame]) -> DataFrame:
     return df.crossJoin(F.broadcast(combined))
 
 
-def _code_exprs(m_subspaces: int, sub: int, vec: str = "v") -> list[Column]:
+def _code_exprs(m_subspaces: int, sub: int, vec: str = "v") -> list[str]:
     """Map-side encode: per subspace, fold over the attached _b{m}
     codebook array keeping the strictly-smaller d2 (ties to the lower
-    cluster — the kmeans_assign discipline). No shuffle, no join."""
-    from .clustering import _dist2
-
-    def code_expr(m: int):
-        sv = F.slice(F.col(vec), m * sub + 1, sub)
-
-        def step(acc, x):
-            d2 = _dist2(sv, x["c"])
-            return F.when(
-                d2 < acc["d2"],
-                F.struct(d2.alias("d2"), x["cluster"].alias("cluster")),
-            ).otherwise(acc)
-
-        return F.aggregate(F.col(f"_b{m}"), _pq_acc0(), step)["cluster"]
-
-    return [code_expr(m).alias(f"_code{m}") for m in range(m_subspaces)]
-
-
-def _adc_d2(m_subspaces: int, sub: int, qvec: str = "qv") -> Column:
-    """Asymmetric distance: Σ_m ||q_m − c_{m,code_m}||², left-to-right,
-    codewords looked up from the attached _b{m} arrays by _code{m}."""
-    from .clustering import _dist2
-
-    d2 = None
+    cluster — the kmeans_assign discipline). No shuffle, no join.
+    Returns SQL expr strings for selectExpr (see the twin-builder note)."""
+    out = []
     for m in range(m_subspaces):
-        lookup = F.element_at(
-            F.map_from_entries(
-                F.transform(
-                    F.col(f"_b{m}"),
-                    lambda s: F.struct(
-                        s["cluster"].alias("key"), s["c"].alias("value")
-                    ),
-                )
-            ),
-            F.col(f"_code{m}"),
+        sv = f"slice(`{vec}`, {m * sub + 1}, {sub})"
+        fold = _argmin_fold_sql(f"_b{m}", _dist2_sql(sv, "x.c"))
+        out.append(f"{fold} AS _code{m}")
+    return out
+
+
+def _adc_d2(m_subspaces: int, sub: int, qvec: str = "qv") -> str:
+    """Asymmetric distance: Σ_m ||q_m − c_{m,code_m}||², left-to-right,
+    codewords looked up from the attached _b{m} arrays by _code{m}.
+    Returns a SQL expr string (see the twin-builder note)."""
+    terms = []
+    for m in range(m_subspaces):
+        lookup = (
+            f"element_at(map_from_entries(transform(_b{m}, "
+            "s -> named_struct('key', s.cluster, 'value', s.c))), "
+            f"_code{m})"
         )
-        term = _dist2(F.slice(F.col(qvec), m * sub + 1, sub), lookup)
-        d2 = term if d2 is None else d2 + term
-    return d2
+        terms.append(_dist2_sql(f"slice(`{qvec}`, {m * sub + 1}, {sub})", lookup))
+    return " + ".join(terms)
 
 
 def pq_knn(
@@ -663,9 +694,9 @@ def pq_knn(
         _pq_sub_points(base, m_subspaces, sub), n_codes, iters
     )
     books = _book_arrays(cents, m_subspaces)
-    enc = _attach_books(base, books).select(
+    enc = _attach_books(base, books).selectExpr(
         "id",
-        *[F.col(f"_b{m}") for m in range(m_subspaces)],
+        *[f"_b{m}" for m in range(m_subspaces)],
         *_code_exprs(m_subspaces, sub),
     )
 
@@ -680,10 +711,10 @@ def pq_knn(
         F.col("adc_d2").asc(), F.col("neighbor_id").asc()
     )
     return (
-        pairs.select(
+        pairs.selectExpr(
             "query_id",
-            F.col("id").alias("neighbor_id"),
-            _adc_d2(m_subspaces, sub).alias("adc_d2"),
+            "id AS neighbor_id",
+            f"({_adc_d2(m_subspaces, sub)}) AS adc_d2",
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -780,7 +811,7 @@ def ivfpq_knn(
     )
     books = _book_arrays(cents, m_subspaces)
     # postings: (id, cell, codes) only — drop rv and the book arrays
-    enc = _attach_books(res, books).select(
+    enc = _attach_books(res, books).selectExpr(
         "id", "cell", *_code_exprs(m_subspaces, sub, vec="rv")
     )
 
@@ -809,10 +840,10 @@ def ivfpq_knn(
     return (
         enc.join(F.broadcast(probed), "cell")
         .filter(F.col("query_id") != F.col("id"))
-        .select(
+        .selectExpr(
             "query_id",
-            F.col("id").alias("neighbor_id"),
-            _adc_d2(m_subspaces, sub, qvec="qr").alias("adc_d2"),
+            "id AS neighbor_id",
+            f"({_adc_d2(m_subspaces, sub, qvec='qr')}) AS adc_d2",
         )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

@@ -101,46 +101,49 @@ def scrape_from_ids(ids: DataFrame, os_name: str, n_hosts: int) -> DataFrame:
     streaming sources. Per (tick, host, descriptor) one Metric row with a
     single-point TimeSeries — exactly the shape monitor.go's
     scrapeAndEmit hands the consumer each tick."""
+    # ONE inline(array(<descriptor structs>)) explode instead of an
+    # 11-branch union: same rows (tick-major instead of descriptor-major
+    # order — every consumer aggregates or sorts), one pass over the tick
+    # table instead of eleven, and ~100 py4j round trips of per-branch
+    # Column construction collapse into three selectExpr calls (r7:
+    # construction was most of this source's wall time).
     fields = (
-        ids.select(
-            (F.col("id") / n_hosts).cast("bigint").alias("r"),
-            (F.col("id") % n_hosts).alias("h"),
+        ids.selectExpr(
+            f"CAST(id / {n_hosts} AS BIGINT) AS r",
+            f"id % {n_hosts} AS h",
         )
         .withColumn("s", F.expr("r * 9973 + h * 101"))
-        .select(
-            "r", "h", *[F.expr(sql).alias(k) for k, sql in FIELD_SQL.items()]
+        .selectExpr(
+            "r", "h", *[f"{sql} AS {k}" for k, sql in FIELD_SQL.items()]
         )
     )
-    ts = F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(
-        secs=(F.col("r") * SCRAPE_INTERVAL_S).cast("int")
-    )
-    parts = []
-    for name, unit, oc_type, _gate, val in os_descriptors(os_name):
+
+    def _desc_struct(name: str, unit: str, oc_type: str, val: str) -> str:
         is_double = oc_type.endswith("DOUBLE")
-        ival = (
-            F.lit(None).cast("bigint")
-            if is_double
-            else F.expr(val).cast("bigint")
+        ival = "CAST(NULL AS BIGINT)" if is_double else f"CAST(({val}) AS BIGINT)"
+        dval = f"CAST(({val}) AS DOUBLE)" if is_double else "CAST(NULL AS DOUBLE)"
+        return (
+            f"named_struct('name', '{name}', 'unit', '{unit}', "
+            f"'oc_type', '{oc_type}', 'ival', {ival}, 'dval', {dval})"
         )
-        dval = (
-            F.expr(val).cast("double")
-            if is_double
-            else F.lit(None).cast("double")
-        )
-        parts.append(
-            fields.select(
-                F.lit(name).alias("name"),
-                F.lit(unit).alias("unit"),
-                F.lit(oc_type).alias("oc_type"),
-                F.concat(F.lit("h"), F.col("h").cast("string")).alias("host"),
-                F.array(
-                    F.struct(
-                        ts.alias("ts"), ival.alias("ival"), dval.alias("dval")
-                    )
-                ).alias("points"),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+
+    structs = ", ".join(
+        _desc_struct(name, unit, oc_type, val)
+        for name, unit, oc_type, _gate, val in os_descriptors(os_name)
+    )
+    per_tick = fields.selectExpr(
+        "concat('h', CAST(h AS STRING)) AS host",
+        f"to_timestamp('{BASE_TS}') + make_interval(0, 0, 0, 0, 0, 0, "
+        f"CAST(r * {SCRAPE_INTERVAL_S} AS INT)) AS _ts",
+        f"inline(array({structs}))",
+    )
+    return per_tick.selectExpr(
+        "name",
+        "unit",
+        "oc_type",
+        "host",
+        "array(named_struct('ts', _ts, 'ival', ival, 'dval', dval)) AS points",
+    )
 
 
 def memorymonitor_scrape(

@@ -65,7 +65,6 @@ def run_pipeline(
         service_dim if service_dim is not None else fixtures.service_dim_df(spark)
     )
     shard_list = shards if shards is not None else sharding.even_shards(cfg.n_shards)
-    shard_df = sharding.shards_df(spark, shard_list)
 
     # receiver stage: protocol validation (F1/S4)
     valid, rejected = split_valid(transcripts, cfg.backpressure_on)
@@ -89,7 +88,7 @@ def run_pipeline(
     routed = with_send_outcome(routed, cfg)
     # shard assignment (J1-J3) on the routed stream, like the omnishard
     # exporter sharding each pipeline's output
-    routed = sharding.assign_shard(routed, shard_df, "conv_id", "left")
+    routed = sharding.assign_shard(routed, shard_list, "conv_id", "left")
 
     # record packing (W3) on accepted rows only — dropped sends never
     # reach a record (hooks.go:128-160 orders drop before flush)
