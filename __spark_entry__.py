@@ -58,7 +58,9 @@ SHARDS = sharding.even_shards(CFG.n_shards)
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from apm_opentelemetry_collector_spark.session import read_input_table
+
+    return read_input_table(spark, f"{sf_dir}/{name}.parquet")
 
 
 # ---------------------------------------------------------------- pipeline

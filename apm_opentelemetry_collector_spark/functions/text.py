@@ -1240,7 +1240,16 @@ GOPHER_REP_DUP_NGRAM = {
 
 def _rep_gram_expr(n: int) -> str:
     """SQL expr: sorted array of single-space-joined n-grams over _toks
-    (empty if < n tokens)."""
+    (empty if < n tokens).
+
+    REJECTED r7 experiment, with numbers: building the 9 widths
+    incrementally (gram_n[i] = gram_{n-1}[i] + ' ' + tok[i+n-1] through
+    a chain of projections) halves the isolated gram-build phase on the
+    raw corpus (1.29 → 0.69 s) but LOSES on the driver query's longer
+    constructed docs (interleaved fresh-JVM A/B minima 2.40/2.67 vs
+    2.18/1.99): each chained projection re-materializes every carried
+    intermediate array per row, and that copy volume outgrows the
+    slice+join work it saves. The direct one-stage spelling stands."""
     return (
         "array_sort(CASE WHEN size(_toks) >= {n} THEN "
         "transform(sequence(1, size(_toks) - {m}), j -> array_join(slice(_toks, j, {n}), ' ')) "

@@ -123,6 +123,28 @@ def spread_small_scan(df, min_parts: int | None = None):
     return df.repartition(target)
 
 
+_PARQUET_SCHEMAS: dict[str, object] = {}
+
+
+def read_input_table(spark: SparkSession, path: str):
+    """spark.read.parquet with the inferred schema cached per path.
+
+    Plain read.parquet infers the schema with a small driver job per
+    call (~0.1-0.6 s + one job here); for the static input tables the
+    schema never changes, so cache that METADATA — never data: every
+    action still scans the parquet files — and pass it explicitly, which
+    plans with no job. Intended for the fixed benchmark/test inputs
+    only; outputs that are rewritten between reads must keep the
+    inferring read.
+    """
+    sch = _PARQUET_SCHEMAS.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _PARQUET_SCHEMAS[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def assert_no_rowwise_python(df) -> None:
     """North-star audit: no per-row Python on the hot path.
 

@@ -33,8 +33,10 @@ def register_views(
     from ..operators.tdigest import register_digest_sql
 
     names = []
+    from ..session import read_input_table
+
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        read_input_table(spark, f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
         names.append(t)
     tr = derive_transcripts(spark, sf_dir)
     tr.createOrReplaceTempView("transcripts")

@@ -65,7 +65,9 @@ ROLE_BY_EVENT_TYPE = {"error": "tool", "signup": "system", "purchase": "assistan
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from ..session import read_input_table
+
+    return read_input_table(spark, f"{sf_dir}/events.parquet")
 
 
 def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
