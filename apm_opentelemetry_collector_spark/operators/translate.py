@@ -31,7 +31,6 @@ DuckDB oracle, so the two cannot drift.
 from __future__ import annotations
 
 import os
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
