@@ -51,25 +51,39 @@ def _nullify_empty(c: Column) -> Column:
     return F.when(c == "", F.lit(None).cast("string")).otherwise(c)
 
 
+def _sql_str(s: str) -> str:
+    """Escape a Python string into a Spark SQL single-quoted literal that
+    round-trips to the same runtime string (backslashes doubled for the
+    parser's escape pass, quotes escaped)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def parse_cols(text: Column | str) -> Column:
     """Column-expression grok of a turn's text → parsed struct.
 
     kv extraction uses regexp_extract_all + str_to_map-style assembly,
     all JVM-side. tool_call's own name=/arg= tokens are inside parens and
-    excluded from kv by stripping the fragment first.
+    excluded from kv by stripping the fragment first. Built as one parsed
+    SQL-expr string (r7): the Column spelling cost ~0.1 s of py4j round
+    trips per pipeline construction; the parsed expression tree is
+    identical (equality-tested against the Arrow twin and the oracles).
     """
-    c = F.col(text) if isinstance(text, str) else text
-    stripped = F.regexp_replace(c, TOOL_CALL_RE, "")
-    pairs = F.regexp_extract_all(stripped, F.lit(KV_RE), 0)  # ['k=v', ...]
-    kv = F.map_from_arrays(
-        F.transform(pairs, lambda p: F.split(p, "=")[0]),
-        F.transform(pairs, lambda p: F.split(p, "=")[1]),
-    )
-    return F.struct(
-        _nullify_empty(F.regexp_extract(c, SEVERITY_RE, 1)).alias("severity"),
-        _nullify_empty(F.regexp_extract(c, TOOL_CALL_RE, 1)).alias("tool_call_name"),
-        _nullify_empty(F.regexp_extract(c, TOOL_CALL_RE, 2)).alias("tool_call_arg"),
-        kv.alias("kv"),
+    c = f"`{text}`" if isinstance(text, str) else None
+    if c is None:
+        raise TypeError("parse_cols expects a column NAME for the expr path")
+    sev_re, tc_re, kv_re = map(_sql_str, (SEVERITY_RE, TOOL_CALL_RE, KV_RE))
+    pairs = f"regexp_extract_all(regexp_replace({c}, {tc_re}, ''), {kv_re}, 0)"
+
+    def nz(expr: str) -> str:
+        return f"CASE WHEN {expr} = '' THEN CAST(NULL AS STRING) ELSE {expr} END"
+
+    return F.expr(
+        "struct("
+        f"{nz(f'regexp_extract({c}, {sev_re}, 1)')} AS severity, "
+        f"{nz(f'regexp_extract({c}, {tc_re}, 1)')} AS tool_call_name, "
+        f"{nz(f'regexp_extract({c}, {tc_re}, 2)')} AS tool_call_arg, "
+        f"map_from_arrays(transform({pairs}, p -> split(p, '=')[0]), "
+        f"transform({pairs}, p -> split(p, '=')[1])) AS kv)"
     )
 
 

@@ -18,7 +18,6 @@ SURVEY.md §4 'double-marshal inefficiency').
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 
 from ..config import DROP_FATAL_ENCODING, OUTCOME_DROPPED, PipelineConfig
 
@@ -32,33 +31,35 @@ def truncate_oversize(df: DataFrame, cfg: PipelineConfig | None = None) -> DataF
     encode_dropped bool, drop_reason (FatalEncodingError when dropped).
     """
     cfg = cfg or PipelineConfig()
-    size = F.octet_length("text")
-    marker = F.concat(F.lit(TRUNC_MARKER), size.cast("string"), F.lit("] "))
-    # the rewritten row must FIT the cap: marker + first `keep` bytes
-    # (reference re-encodes after truncation and checks the size again,
-    # shard_encoder.go:254-266). keep < 0 → even the marker alone is over
-    # the cap → irreducible → drop (ErrEncodingFailed analog).
-    keep = (F.lit(cfg.max_span_size) - F.octet_length(marker)).cast("int")
-    over = size > cfg.max_span_size
-    fatal = over & (keep < 0)
-    return (
-        df.withColumn("truncated", over & ~fatal)
-        .withColumn(
-            "text",
-            F.when(
-                over & ~fatal,
-                F.concat(
-                    marker,
-                    F.substring(F.col("text"), F.lit(1), F.greatest(keep, F.lit(0))),
-                ),
-            ).otherwise(F.col("text")),
+    # One selectExpr instead of four withColumns (r7: each withColumn is a
+    # full projection rebuild over py4j; the strings parse in one round
+    # trip — run_pipeline constructs this per job submission). Semantics
+    # unchanged: the rewritten row must FIT the cap — marker + first
+    # `keep` bytes (reference re-encodes after truncation and checks the
+    # size again, shard_encoder.go:254-266); keep < 0 → even the marker
+    # alone is over the cap → irreducible → drop (ErrEncodingFailed
+    # analog). Column order matches the withColumn form: originals with
+    # text rewritten in place, then truncated / drop_reason / outcome.
+    cap = int(cfg.max_span_size)
+    marker = f"concat('{TRUNC_MARKER}', CAST(octet_length(text) AS STRING), '] ')"
+    keep = f"CAST({cap} - octet_length({marker}) AS INT)"
+    over = f"(octet_length(text) > {cap})"
+    fatal = f"({over} AND {keep} < 0)"
+    trunc = f"({over} AND NOT {fatal})"
+    cols = [
+        c
+        if c != "text"
+        else (
+            f"CASE WHEN {trunc} THEN concat({marker}, "
+            f"substring(text, 1, greatest({keep}, 0))) ELSE text END AS text"
         )
-        .withColumn(
-            "drop_reason",
-            F.when(fatal, F.lit(DROP_FATAL_ENCODING)).otherwise(F.lit(None).cast("string")),
-        )
-        .withColumn(
-            "outcome",
-            F.when(fatal, F.lit(OUTCOME_DROPPED)).otherwise(F.lit(None).cast("string")),
-        )
+        for c in df.columns
+    ]
+    return df.selectExpr(
+        *cols,
+        f"{trunc} AS truncated",
+        f"CASE WHEN {fatal} THEN '{DROP_FATAL_ENCODING}' "
+        "ELSE CAST(NULL AS STRING) END AS drop_reason",
+        f"CASE WHEN {fatal} THEN '{OUTCOME_DROPPED}' "
+        "ELSE CAST(NULL AS STRING) END AS outcome",
     )
