@@ -61,21 +61,20 @@ def with_send_outcome(routed: DataFrame, cfg: PipelineConfig | None = None) -> D
     so a pure-SQL oracle reproduces it exactly.
     """
     cfg = cfg or PipelineConfig()
-    sig = F.md5(
-        F.concat(
-            F.col("conv_id"),
-            F.lit(":"),
-            F.col("turn_idx").cast("string"),
-            F.lit(":"),
-            F.col("sink"),
-        ).cast("binary")
+    # one selectExpr instead of two withColumns (r7 construction-cost
+    # pass; run_pipeline builds this per job submission)
+    pfx = cfg.drop_md5_prefix
+    sig = (
+        "md5(CAST(concat(conv_id, ':', CAST(turn_idx AS STRING), ':', sink) "
+        "AS BINARY))"
     )
-    is_drop = F.substring(sig, 1, len(cfg.drop_md5_prefix)) == cfg.drop_md5_prefix
-    return routed.withColumn(
-        "outcome", F.when(is_drop, OUTCOME_DROPPED).otherwise(OUTCOME_ACCEPTED)
-    ).withColumn(
-        "drop_reason",
-        F.when(is_drop, F.lit(DROP_SEND_NOT_RETRYABLE)).otherwise(F.lit(None).cast("string")),
+    is_drop = f"(substring({sig}, 1, {len(pfx)}) = '{pfx}')"
+    return routed.selectExpr(
+        *routed.columns,
+        f"CASE WHEN {is_drop} THEN '{OUTCOME_DROPPED}' "
+        f"ELSE '{OUTCOME_ACCEPTED}' END AS outcome",
+        f"CASE WHEN {is_drop} THEN '{DROP_SEND_NOT_RETRYABLE}' "
+        "ELSE CAST(NULL AS STRING) END AS drop_reason",
     )
 
 
